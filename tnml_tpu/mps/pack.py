@@ -1,0 +1,67 @@
+"""Host (ragged, float64) <-> device (padded, static-shape) MPS conversion.
+
+XLA requires static shapes; adaptive DMRG bond dimensions are handled by padding every
+bond to a fixed ``pad`` dimension and tracking the true rank per bond on the host
+(SURVEY.md §7 "Dynamic bond dimensions vs XLA static shapes").  Padding is with zeros,
+which makes padded contractions *exactly* equal to ragged ones — zero rows/columns
+propagate zeros — so no masks are needed in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tnml_tpu.mps.core import MPS
+
+
+@dataclass
+class PackedMPS:
+    """Device-resident padded MPS.
+
+    ``cores[j]``: [pad, d, pad] (label core: [pad, d, pad, L]); true bond dims in
+    ``ranks`` ([N+1] ints, edges = 1).
+    """
+
+    cores: List[jnp.ndarray]
+    ranks: np.ndarray
+    label_site: Optional[int]
+    pad: int
+
+    @property
+    def n(self) -> int:
+        return len(self.cores)
+
+    @property
+    def d(self) -> int:
+        return int(self.cores[0].shape[1])
+
+    @property
+    def n_labels(self) -> int:
+        return 0 if self.label_site is None else int(self.cores[self.label_site].shape[-1])
+
+
+def pack(mps: MPS, pad: int, dtype=jnp.float32) -> PackedMPS:
+    if mps.max_bond() > pad:
+        raise ValueError(f"MPS bond dim {mps.max_bond()} exceeds pad {pad}")
+    cores = []
+    for j, c in enumerate(mps.cores):
+        ml, d, mr = c.shape[0], c.shape[1], c.shape[2]
+        shape = (pad, d, pad) + c.shape[3:]
+        out = np.zeros(shape, dtype=np.float64)
+        out[:ml, :, :mr] = c
+        cores.append(jnp.asarray(out, dtype=dtype))
+    ranks = np.asarray(mps.bond_dims(), dtype=np.int64)
+    return PackedMPS(cores=cores, ranks=ranks, label_site=mps.label_site, pad=pad)
+
+
+def unpack(packed: PackedMPS) -> MPS:
+    cores = []
+    for j in range(packed.n):
+        ml, mr = int(packed.ranks[j]), int(packed.ranks[j + 1])
+        c = np.asarray(packed.cores[j], dtype=np.float64)
+        cores.append(c[:ml, :, :mr].copy())
+    return MPS(cores, label_site=packed.label_site)

@@ -1,0 +1,54 @@
+"""Device-mesh data parallelism over the training batch.
+
+The reference's only parallel axis is images-within-batch, fanned out to <=16 pthreads
+with per-thread accumulator slots and a serial reduction (paralleldo.h:21-68,
+fixedL.cc:385).  The TPU-native equivalent: shard the batch axis of the feature and
+environment arrays over a ``jax.sharding.Mesh`` and let SPMD partitioning turn every
+contraction-over-batch (bond gradient, pAp, cost) into an XLA ``psum`` over ICI
+(SURVEY.md §5 "Distributed communication backend").
+
+Everything rides sharding propagation through ``jit``: arrays are placed with
+``NamedSharding(P('dp', ...))`` and XLA inserts the collectives.  The batch axis must
+divide the mesh size; callers pad the batch if needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+@dataclass
+class DataParallel:
+    """Batch-axis sharding policy handed to the sweep engine."""
+
+    mesh: Mesh
+    axis: str = "dp"
+
+    @property
+    def n(self) -> int:
+        return self.mesh.devices.size
+
+    def for_batch_axis(self, ndim: int, batch_axis: int) -> NamedSharding:
+        spec = [None] * ndim
+        spec[batch_axis] = self.axis
+        return NamedSharding(self.mesh, P(*spec))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def pad_batch(self, n: int) -> int:
+        """Smallest multiple of the mesh size >= n."""
+        k = self.n
+        return ((n + k - 1) // k) * k

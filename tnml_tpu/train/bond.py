@@ -1,0 +1,271 @@
+"""Two-site bond tensor: assembly, batched apply/gradient, CG optimizer, SVD split.
+
+This is the hot path — the TPU-native replacement for the reference's per-image
+ITensor contractions inside ``cgrad`` (fixedL.cc:349-445) and the ``svd`` bond split
+(fixedL.cc:519-525).  Everything is batched over images as dense einsums that XLA maps
+onto the MXU; the three CG reductions per pass (gradient tensor, pAp, cost) contract
+over the batch axis and become cross-chip psums when the batch is sharded.
+
+Uniform tensor layout (exactly one of K_l/J/K_r is the label dimension L for fixedL;
+all are 1 for the one-vs-rest `single` model, whose targets ride in Y):
+
+    B5    [a, s, t, r, J]    two-site bond tensor (a/r: padded bonds, s/t: phys, J label)
+    LE    [B, K_l, a]        left wing  (+ per-image log-scale sigma_L [B])
+    RE    [B, K_r, r]        right wing (+ sigma_R)
+    xc,x1 [B, d]             phi features of the two active sites
+    Y     [B, K_l*J*K_r]     targets (one-hot rows for fixedL; {0,1} scalars for single)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# bond tensor assembly / disassembly
+# ---------------------------------------------------------------------------
+
+
+def bond_case(b: int, label_site) -> str:
+    """Which leg of the active pair (b, b+1) carries the label axis."""
+    if label_site is None:
+        return "none"
+    if label_site < b:
+        return "wingL"
+    if label_site > b + 1:
+        return "wingR"
+    return "coreL" if label_site == b else "coreR"
+
+
+def make_bond(wl: jnp.ndarray, wr: jnp.ndarray) -> jnp.ndarray:
+    """B = W_c · W_{c+1} (fixedL.cc:494) -> B5 [a,s,t,r,J]."""
+    if wl.ndim == 4 and wr.ndim == 4:
+        raise ValueError("both cores carry a label axis")
+    if wl.ndim == 4:
+        return jnp.einsum("asml,mtr->astrl", wl, wr)
+    if wr.ndim == 4:
+        return jnp.einsum("asm,mtrl->astrl", wl, wr)
+    return jnp.einsum("asm,mtr->astr", wl, wr)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# batched apply / outer-gradient
+# ---------------------------------------------------------------------------
+
+
+def _wing_products(LE, RE, xc, x1):
+    """Lphi [B,K_l,a,s] and Rphi [B,K_r,t,r] — φ folded into the wings."""
+    Lphi = LE[:, :, :, None] * xc[:, None, None, :]
+    Rphi = RE[:, :, None, :] * x1[:, None, :, None]
+    return Lphi, Rphi
+
+
+def apply_bond(B5, Lphi, Rphi):
+    """P[b,k,j,m] = <v_b | B>: the model output before target comparison."""
+    return jnp.einsum("bkas,astrj,bmtr->bkjm", Lphi, B5, Rphi)
+
+
+def outer_grad(w, Lphi, Rphi):
+    """G[a,s,t,r,j] = sum_b w[b,k,j,m] · v_b — the batched dP·dag(v) accumulation
+    (fixedL.cc:375-380)."""
+    return jnp.einsum("bkjm,bkas,bmtr->astrj", w, Lphi, Rphi)
+
+
+# ---------------------------------------------------------------------------
+# conjugate gradient (fixedL.cc:349-445 semantics, incl. un-NT-normalized gradient)
+# ---------------------------------------------------------------------------
+
+
+class CGResult(NamedTuple):
+    B5: jnp.ndarray
+    passes: jnp.ndarray      # number of completed B-updates
+    r0norm: jnp.ndarray      # |r| of the initial gradient
+    costs: jnp.ndarray       # [npass] cost after pass i (0 where not computed)
+    rnorms: jnp.ndarray      # [npass] |r| after pass i
+
+
+@partial(jax.jit, static_argnames=("npass", "fast", "check_r0"))
+def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
+            npass: int, fast: bool = False, check_r0: bool = False) -> CGResult:
+    """Optimize the bond tensor by CG against A = sum_b v_b v_b^T + lambda.
+
+    ``fast=True`` uses the residual update r <- r - a·Ap (single.h:290-398,
+    Shewchuk Eq. 47) instead of recomputing the gradient each pass.
+    ``check_r0=True`` skips optimization entirely when |r0| < cconv, like the
+    `single` optimizers (single.h:201-205); fixedL's cgrad has no such check.
+    """
+    Bsz = LE.shape[0]
+    Lphi, Rphi = _wing_products(LE, RE, xc, x1)
+    sig = jnp.exp(sigL + sigR)[:, None, None, None]          # [B,1,1,1]
+    Y4 = Y.reshape(Bsz, LE.shape[1], B5.shape[4], RE.shape[1])
+
+    def grad_and_cost(B):
+        P = apply_bond(B, Lphi, Rphi) * sig
+        dP = Y4 - P
+        g = outer_grad(dP * sig, Lphi, Rphi)
+        cost = jnp.sum(dP * dP) + lam * jnp.sum(B * B)
+        return g - lam * B, cost
+
+    r0, _ = grad_and_cost(B5)
+    rr0 = jnp.sum(r0 * r0)
+
+    class Carry(NamedTuple):
+        i: jnp.ndarray
+        B: jnp.ndarray
+        r: jnp.ndarray
+        p: jnp.ndarray
+        rr: jnp.ndarray
+        done: jnp.ndarray
+        costs: jnp.ndarray
+        rnorms: jnp.ndarray
+
+    def cond(c: Carry):
+        return (c.i < npass) & (~c.done)
+
+    def body(c: Carry):
+        pv = apply_bond(c.p, Lphi, Rphi) * sig
+        pAp = jnp.sum(pv * pv) + lam * jnp.sum(c.p * c.p)
+        alpha = c.rr / pAp
+        Bn = c.B + alpha * c.p
+        is_last = (c.i + 1) >= npass
+
+        if fast:
+            # sum_b (p·v_b) v_b (single.h:360); pv already carries one sig factor,
+            # the outer product against the normalized wings needs the second
+            Ap = outer_grad(pv * sig, Lphi, Rphi)
+
+        def tail(_):
+            if fast:
+                # exact reference formula nr = r - a*Ap - lambda*B_new (single.h:377-379)
+                nr = c.r - alpha * Ap - lam * Bn
+                cost = jnp.float32(0.0)
+            else:
+                nr, cost = grad_and_cost(Bn)
+            nrr = jnp.sum(nr * nr)
+            beta = nrr / c.rr
+            pn = nr + beta * c.p
+            done = jnp.sqrt(nrr) < cconv
+            return nr, pn, nrr, cost, done
+
+        def last(_):
+            return c.r, c.p, c.rr, jnp.float32(0.0), jnp.bool_(True)
+
+        nr, pn, nrr, cost, done = lax.cond(is_last, last, tail, None)
+        costs = c.costs.at[c.i].set(cost)
+        rnorms = c.rnorms.at[c.i].set(jnp.sqrt(nrr))
+        return Carry(c.i + 1, Bn, nr, pn, nrr, done, costs, rnorms)
+
+    done0 = jnp.sqrt(rr0) < cconv if check_r0 else jnp.bool_(False)
+    init = Carry(jnp.int32(0), B5, r0, r0, rr0, done0,
+                 jnp.zeros((npass,), jnp.float32), jnp.zeros((npass,), jnp.float32))
+    out = lax.while_loop(cond, body, init)
+    return CGResult(out.B, out.i, jnp.sqrt(rr0), out.costs, out.rnorms)
+
+
+# ---------------------------------------------------------------------------
+# cost / accuracy reporting (quadcost, fixedL.cc:280-344)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam):
+    """Returns (C_total, per_true_label_cost [10], n_correct, reg_cost).
+
+    ``labels`` [B] int32 true labels; per-label costs follow the reference: the FULL
+    |dP|^2 of an image is charged to its true label's bucket (fixedL.cc:320).
+    Accuracy: argmax over |P| (fixedL.cc:323-327).
+    """
+    Bsz = LE.shape[0]
+    Lphi, Rphi = _wing_products(LE, RE, xc, x1)
+    sig = jnp.exp(sigL + sigR)[:, None, None, None]
+    P = apply_bond(B5, Lphi, Rphi) * sig
+    Pflat = P.reshape(Bsz, -1)
+    dP = Y - Pflat
+    per_image = jnp.sum(dP * dP, axis=1)
+    nl = Pflat.shape[1]
+    onehot_true = jax.nn.one_hot(labels, 10, dtype=per_image.dtype)
+    per_label = onehot_true.T @ per_image
+    pred = jnp.argmax(jnp.abs(Pflat), axis=1)
+    ncor = jnp.where(nl > 1,
+                     jnp.sum((pred == labels).astype(jnp.int32)),
+                     jnp.int32(0))
+    reg = lam * jnp.sum(B5 * B5)
+    return jnp.sum(per_image) + reg, per_label, ncor, reg
+
+
+# ---------------------------------------------------------------------------
+# truncated SVD split (fixedL.cc:519-525 + ITensor cutoff semantics)
+# ---------------------------------------------------------------------------
+
+
+def _trunc_rank(s, cutoff, maxm, minm):
+    """Smallest kept rank with tail(sum s^2) <= cutoff*total, clamped to [minm, maxm]."""
+    p = s * s
+    total = jnp.sum(p)
+    k = s.shape[0]
+    tail = total - jnp.cumsum(p)                      # tail[i] = discarded if keep i+1
+    ok = tail <= cutoff * total
+    r = jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, k)
+    r = jnp.maximum(r, jnp.minimum(minm, k))
+    r = jnp.minimum(r, maxm)
+    mask = jnp.arange(k) < r
+    kept = jnp.sum(jnp.where(mask, p, 0.0))
+    truncerr = jnp.where(total > 0, (total - kept) / total, 0.0)
+    return r, mask, truncerr
+
+
+@partial(jax.jit, static_argnames=("label_leg", "iso_left"))
+def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool):
+    """SVD B5 back into two cores with adaptive-rank truncation.
+
+    ``label_leg``: 'left' | 'right' | 'none' — which output core keeps the label axis
+    (fixedL keeps it on the center core, fixedL.cc:519-521 via ITensor index
+    partitioning).  ``iso_left``: the isometric (U) side is the left core when sweeping
+    right, the right core when sweeping left (fixedL.cc:482-483,520-521).
+
+    Returns (wl, wr, rank, truncerr); the new bond is zero-padded to the input pad so
+    all downstream shapes stay static.
+    """
+    a, s, t, r, J = B5.shape
+    pad = a
+    if label_leg == "left":
+        M = B5.transpose(0, 1, 4, 2, 3).reshape(a * s * J, t * r)
+    else:
+        # 'right' and 'none' (J==1) both fold the label into the columns
+        M = B5.transpose(0, 1, 2, 3, 4).reshape(a * s, t * r * J)
+
+    U, sv, Vt = jnp.linalg.svd(M, full_matrices=False)
+    rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+    k = sv.shape[0]
+    Um = U * mask[None, :]
+    Vm = Vt * mask[:, None]
+    svm = sv * mask
+    if iso_left:
+        left_m, right_m = Um, svm[:, None] * Vm
+    else:
+        left_m, right_m = Um * svm[None, :], Vm
+
+    # pad/trim the new bond to `pad`
+    def fit_cols(Mx):
+        return Mx[:, :pad] if k >= pad else jnp.pad(Mx, ((0, 0), (0, pad - k)))
+
+    def fit_rows(Mx):
+        return Mx[:pad, :] if k >= pad else jnp.pad(Mx, ((0, pad - k), (0, 0)))
+
+    left_m, right_m = fit_cols(left_m), fit_rows(right_m)
+
+    if label_leg == "left":
+        wl = left_m.reshape(a, s, J, pad).transpose(0, 1, 3, 2)   # [a,s,new,J]
+        wr = right_m.reshape(pad, t, r)
+    elif label_leg == "right":
+        wl = left_m.reshape(a, s, pad)
+        wr = right_m.reshape(pad, t, r, J)
+    else:
+        wl = left_m.reshape(a, s, pad)
+        wr = right_m.reshape(pad, t, r, J)[..., 0]
+    rank = jnp.minimum(rank, pad)
+    return wl, wr, rank, truncerr

@@ -1,0 +1,259 @@
+"""The DMRG-style sweep engine: batched bond optimization over a training set.
+
+TPU-native re-design of the reference's ``mldmrg`` drivers (fixedL.cc:451-570,
+single.h:523-728).  One engine serves both model families:
+
+- fixedL:  W carries a 10-dim label axis on a fixed core (`label_site`); targets are
+  one-hot rows.
+- single:  no label axis; targets are {0,1} scalars for one chosen label
+  (single.h:103).
+
+The sweep over bonds is sequential (it is the algorithm); every per-bond step is ONE
+fused async device call (`tnml_tpu.train.step.fused_bond_step`) over all images, so
+the Python loop never blocks on the device.  Environments live in ``self.env`` — a
+site-indexed table of device arrays, the HBM-resident analog of the reference's
+``proj_images/B%03dE%05d`` disk files (fixedL.cc:115-120).  Per-bond metrics are
+fetched in bulk once per sweep.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnml_tpu.mps.pack import PackedMPS
+from tnml_tpu.train import bond as bond_ops
+from tnml_tpu.train import step as step_ops
+from tnml_tpu.train.env import edge_env, env_extend
+from tnml_tpu.train.schedule import Sweeps, sweep_bonds
+
+
+@dataclass
+class BondStats:
+    sweep: int
+    b: int
+    direction: int
+    origm: int
+    newm: int
+    truncerr: float
+    cost: float            # quadcost after SVD (sum over images, incl. reg)
+    ncorrect: int
+    reg: float
+    per_label_cost: np.ndarray
+    cg_passes: int
+    cg_r0: float
+    cg_costs: np.ndarray
+    cg_rnorms: np.ndarray
+
+
+class SweepEngine:
+    def __init__(self,
+                 model: PackedMPS,
+                 X: np.ndarray,              # [B, N, d] float features (phi applied)
+                 labels: np.ndarray,         # [B] int
+                 *,
+                 lam: float = 0.0,
+                 npass: int = 4,
+                 cconv: float = 1e-10,
+                 method: str = "conj",
+                 target_label: Optional[int] = None,   # single-model mode
+                 report_cost: bool = True,
+                 dtype=jnp.float32,
+                 sharding=None):
+        if X.ndim != 3 or X.shape[1] != model.n:
+            raise ValueError("X must be [B, N, d] matching the model length")
+        if method not in ("conj", "fast_conj"):
+            raise ValueError(f"method {method!r} not supported by the CG engine")
+        self.model = model
+        self.n = model.n
+        self.nt = int(X.shape[0])
+        self.pad = model.pad
+        self.label_site = model.label_site
+        self.lam = float(lam)
+        self.npass = int(npass)
+        self.cconv = float(cconv)
+        self.method = method
+        self.report_cost = report_cost
+        self.dtype = dtype
+        self.sharding = sharding
+
+        # site-major features, split once into per-site device arrays so the bond
+        # loop never does an eager slice
+        xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))), dtype=dtype)
+        xs = self._shard(xs, batch_axis=1)
+        self.Xsites = step_ops.split_sites(xs, self.n)
+        self.labels = self._shard(jnp.asarray(labels, dtype=jnp.int32), batch_axis=0)
+        if model.label_site is not None:
+            if target_label is not None:
+                raise ValueError("target_label is for label-free (single) models")
+            nl = model.n_labels
+            self.Y = self._shard(
+                jnp.asarray(jax.nn.one_hot(labels, nl), dtype=dtype), batch_axis=0)
+        else:
+            if target_label is None:
+                raise ValueError("label-free model needs target_label")
+            y = (labels == target_label).astype(np.float32)[:, None]
+            self.Y = self._shard(jnp.asarray(y, dtype=dtype), batch_axis=0)
+
+        self.cores: List[jnp.ndarray] = list(model.cores)
+        self.ranks = np.asarray(model.ranks).copy()
+        self.env: Dict[int, tuple] = {}
+        self._edge = None
+        self._hyp_f = None   # [lambda, cconv, cutoff] device array
+        self._hyp_i = None   # [maxm, minm]
+        self._lambda_override: Optional[float] = None
+
+    # -- helpers -------------------------------------------------------------
+
+    def _shard(self, arr, batch_axis: int):
+        if self.sharding is None:
+            return arr
+        return jax.device_put(arr, self.sharding.for_batch_axis(arr.ndim, batch_axis))
+
+    def _edge_env(self):
+        if self._edge is None:
+            e = edge_env(self.nt, self.pad, self.dtype)
+            self._edge = (self._shard(e[0], 0), self._shard(e[1], 0))
+        return self._edge
+
+    def _le(self, b: int):
+        return self.env[b - 1] if b >= 1 else self._edge_env()
+
+    def _re(self, b: int):
+        return self.env[b + 2] if b + 2 <= self.n - 1 else self._edge_env()
+
+    def set_hyper(self, cutoff: float, maxm: int, minm: int) -> None:
+        lam = self._lambda_override if self._lambda_override is not None else self.lam
+        self._hyp_f = jnp.asarray([lam, self.cconv, cutoff], jnp.float32)
+        self._hyp_i = jnp.asarray([maxm, minm], jnp.int32)
+
+    def set_lambda(self, lam: float) -> None:
+        """Hot-reload the regularizer (the LAMBDA control file, fixedL.cc:550-559)."""
+        self._lambda_override = float(lam)
+        self.lam = float(lam)
+        self._hyp_f = None
+
+    # -- environments ----------------------------------------------------------
+
+    def init_envs(self) -> None:
+        """Build all right wings, sites N-1 down to 2 (TrainStates::init,
+        fixedL.cc:122-157)."""
+        self.env.clear()
+        prev = self._edge_env()
+        for j in range(self.n - 1, 1, -1):
+            prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],
+                              fromleft=False)
+            self.env[j] = prev
+
+    # -- per-bond step ---------------------------------------------------------
+
+    def bond_tensor(self, b: int) -> jnp.ndarray:
+        return bond_ops.make_bond(self.cores[b], self.cores[b + 1])
+
+    def quadcost(self, b: int = 0, B5: Optional[jnp.ndarray] = None):
+        """(C_total, per_label, ncorrect, reg) at bond b with current wings."""
+        if B5 is None:
+            B5 = self.bond_tensor(b)
+        le, re = self._le(b), self._re(b)
+        return bond_ops.quadcost(B5, le[0], le[1], re[0], re[1],
+                                 self.Xsites[b], self.Xsites[b + 1], self.Y,
+                                 self.labels, jnp.float32(self.lam))
+
+    def bond_step_async(self, b: int, direction: int):
+        """Enqueue one fused bond step; returns the device stats vector."""
+        le, re = self._le(b), self._re(b)
+        case = bond_ops.bond_case(b, self.label_site)
+        label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
+        wl, wr, env_arr, env_sig, stats = step_ops.fused_bond_step(
+            self.cores[b], self.cores[b + 1],
+            le[0], le[1], re[0], re[1],
+            self.Xsites[b], self.Xsites[b + 1], self.Y, self.labels,
+            self._hyp_f, self._hyp_i,
+            label_leg=label_leg, iso_left=(direction > 0),
+            fast=(self.method == "fast_conj"), npass=self.npass,
+            check_r0=(self.label_site is None), report=self.report_cost)
+        self.cores[b], self.cores[b + 1] = wl, wr
+        self.env[b if direction > 0 else b + 1] = (env_arr, env_sig)
+        return stats
+
+    def bond_step(self, sweep_idx: int, b: int, direction: int,
+                  maxm: int, minm: int, cutoff: float) -> BondStats:
+        """Synchronous single-bond step (testing/debugging path)."""
+        self.set_hyper(cutoff, maxm, minm)
+        origm = int(self.ranks[b + 1])
+        stats = self.bond_step_async(b, direction)
+        st = self._unpack_stats(sweep_idx, b, direction, origm, np.asarray(stats))
+        self.ranks[b + 1] = st.newm
+        return st
+
+    # -- full training loop ------------------------------------------------------
+
+    def run(self, sweeps: Sweeps,
+            callback: Optional[Callable[[BondStats], None]] = None,
+            verbose: bool = True) -> List[BondStats]:
+        """All sweeps over all bonds (mldmrg, fixedL.cc:451-570)."""
+        if not self.env:
+            self.init_envs()
+        history: List[BondStats] = []
+        for sw in range(sweeps.nsweep):
+            maxm = int(sweeps.maxm[sw])
+            minm = int(sweeps.minm[sw])
+            cutoff = float(sweeps.cutoff[sw])
+            if maxm > self.pad:
+                raise ValueError(f"sweep {sw}: maxm {maxm} exceeds padded dim {self.pad}")
+            self.set_hyper(cutoff, maxm, minm)
+            if verbose:
+                print(f"\nSweep {sw + 1} maxm={maxm} minm={minm} cutoff={cutoff:g}")
+            t0 = time.perf_counter()
+            pending = []
+            for b, direction in sweep_bonds(self.n):
+                origm = int(self.ranks[b + 1])
+                stats = self.bond_step_async(b, direction)
+                pending.append((sw + 1, b, direction, origm, stats))
+            # one bulk fetch per sweep
+            fetched = np.asarray(jnp.stack([p[4] for p in pending]))
+            dt = time.perf_counter() - t0
+            for (swi, b, direction, origm, _), vec in zip(pending, fetched):
+                st = self._unpack_stats(swi, b, direction, origm, vec)
+                self.ranks[b + 1] = st.newm
+                history.append(st)
+                if callback is not None:
+                    callback(st)
+            if verbose:
+                last = history[-1]
+                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                       f"({2 * (self.n - 1)} bonds, "
+                       f"{dt / (2 * (self.n - 1)) * 1e3:.1f} ms/bond), "
+                       f"max m = {int(self.ranks.max())}")
+                if self.report_cost:
+                    msg += (f", cost/NT {last.cost / self.nt:.10f}, "
+                            f"correct {last.ncorrect}/{self.nt}")
+                print(msg)
+        return history
+
+    def _unpack_stats(self, sweep, b, direction, origm, vec) -> BondStats:
+        npass = self.npass
+        return BondStats(
+            sweep=sweep, b=b, direction=direction, origm=origm,
+            newm=int(vec[step_ops.S_RANK]),
+            truncerr=float(vec[step_ops.S_TRUNCERR]),
+            cost=float(vec[step_ops.S_COST]),
+            ncorrect=int(vec[step_ops.S_NCOR]),
+            reg=float(vec[step_ops.S_REG]),
+            per_label_cost=vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10].copy(),
+            cg_passes=int(vec[step_ops.S_PASSES]),
+            cg_r0=float(vec[step_ops.S_R0]),
+            cg_costs=vec[step_ops.S_CG:step_ops.S_CG + npass].copy(),
+            cg_rnorms=vec[step_ops.S_CG + npass:step_ops.S_CG + 2 * npass].copy(),
+        )
+
+    # -- extraction ---------------------------------------------------------------
+
+    def packed(self) -> PackedMPS:
+        return PackedMPS(cores=list(self.cores), ranks=self.ranks.copy(),
+                         label_site=self.label_site, pad=self.pad)

@@ -1,0 +1,92 @@
+"""Fully-fused per-bond training step: ONE jitted call per bond.
+
+Dispatch discipline is the perf story: the reference pays disk round-trips per bond
+(fixedL.cc:153,177-178); a naive port pays host<->device round-trips instead (scalar
+transfers, eager slicing, per-bond metric syncs — each a full tunnel RTT on networked
+TPU).  Here the whole bond step — bond assembly, CG passes, truncated-SVD split,
+post-SVD cost report, and the environment shift — trace into a single XLA program, so
+the Python sweep loop only enqueues one async call per bond and never blocks.  All
+per-bond metrics are packed into one flat f32 vector and fetched in bulk at sweep end.
+
+Hyperparameters arrive as two tiny device-resident arrays (hyp_f = [lambda, cconv,
+cutoff], hyp_i = [maxm, minm]) created once per sweep, so LAMBDA hot-reload
+(fixedL.cc:550-559) and per-sweep schedules never retrace.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tnml_tpu.train import bond as bond_ops
+
+# stats vector layout
+S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES = range(7)
+S_PER_LABEL = 7           # 10 entries
+S_CG = 17                 # npass cost entries, then npass |r| entries
+
+
+def stats_len(npass: int) -> int:
+    return S_CG + 2 * npass
+
+
+@partial(jax.jit, static_argnames=("label_leg", "iso_left", "fast", "npass",
+                                   "check_r0", "report"))
+def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
+                    hyp_f, hyp_i,
+                    label_leg: str, iso_left: bool, fast: bool, npass: int,
+                    check_r0: bool, report: bool):
+    """Returns (wl', wr', env_arr, env_sig, stats_vec).
+
+    ``env_arr/env_sig`` is the shifted wing: built from LE over the left active site
+    when sweeping right (iso_left=True), from RE over the right active site otherwise
+    — exactly TrainStates::shiftE (fixedL.cc:192-233).
+    """
+    lam, cconv, cutoff = hyp_f[0], hyp_f[1], hyp_f[2]
+    maxm, minm = hyp_i[0], hyp_i[1]
+
+    B5 = bond_ops.make_bond(wl, wr)
+    cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
+                          npass=npass, fast=fast, check_r0=check_r0)
+    nwl, nwr, rank, truncerr = bond_ops.split_bond(
+        cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left)
+
+    if report:
+        newB = bond_ops.make_bond(nwl, nwr)
+        cost, per_label, ncor, reg = bond_ops.quadcost(
+            newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam)
+    else:
+        cost = jnp.float32(jnp.nan)
+        per_label = jnp.zeros((10,), jnp.float32)
+        ncor, reg = jnp.int32(-1), jnp.float32(0.0)
+
+    # environment shift over the freshly isometric core
+    from tnml_tpu.train.env import env_extend
+    if iso_left:
+        env_arr, env_sig = env_extend(LE, lsc, xc, nwl, fromleft=True)
+    else:
+        env_arr, env_sig = env_extend(RE, rsc, x1, nwr, fromleft=False)
+
+    stats = jnp.zeros((stats_len(npass),), jnp.float32)
+    stats = stats.at[S_RANK].set(rank.astype(jnp.float32))
+    stats = stats.at[S_TRUNCERR].set(truncerr)
+    stats = stats.at[S_COST].set(cost)
+    stats = stats.at[S_NCOR].set(ncor.astype(jnp.float32))
+    stats = stats.at[S_REG].set(reg)
+    stats = stats.at[S_R0].set(cg.r0norm)
+    stats = stats.at[S_PASSES].set(cg.passes.astype(jnp.float32))
+    stats = lax.dynamic_update_slice(stats, per_label.astype(jnp.float32),
+                                     (S_PER_LABEL,))
+    stats = lax.dynamic_update_slice(stats, cg.costs, (S_CG,))
+    stats = lax.dynamic_update_slice(stats, cg.rnorms, (S_CG + npass,))
+    return nwl, nwr, env_arr, env_sig, stats
+
+
+@partial(jax.jit, static_argnames=("n",))
+def split_sites(Xs, n: int) -> Tuple[jnp.ndarray, ...]:
+    """[N, B, d] -> tuple of N per-site [B, d] arrays, in one device call."""
+    return tuple(Xs[j] for j in range(n))
