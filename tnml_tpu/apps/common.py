@@ -1,0 +1,70 @@
+"""Shared app plumbing: input-file handling, dataset loading, feature mapping.
+
+Every app takes exactly one argument — the input file — like the reference programs
+(fixedL.cc:579-584).  Parameter names and defaults follow README.md:65-79 and the
+per-app getInt/getReal calls.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tnml_tpu.config import Config, read_input_file
+from tnml_tpu.data.mnist import TEST, TRAIN, read_mnist
+from tnml_tpu.io import checkpoint as ckpt
+from tnml_tpu.ops.feature import REFERENCE_RESCALE, featurize
+
+DEFAULT_DATADIR = "/root/reference/mllib/MNIST"
+
+
+def load_config(argv) -> Config:
+    if len(argv) != 2:
+        print(f"Usage: {argv[0]} inputfile")
+        sys.exit(0)
+    return read_input_file(argv[1])
+
+
+def rescale_from(cfg: Config) -> float:
+    """'reference' keeps the double-/255 quirk (default); 'fixed' feeds phi the true
+    [0,1] pixel (SURVEY.md §2 behavioral quirk)."""
+    mode = cfg.get_string("rescale", "reference")
+    if mode == "reference":
+        return REFERENCE_RESCALE
+    if mode == "fixed":
+        return 1.0
+    raise ValueError(f"rescale={mode!r} not recognized (reference|fixed)")
+
+
+def load_features(cfg: Config, split: str, feature: str,
+                  nt: Optional[int] = None, d: int = 2
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    datadir = cfg.get_string("datadir", DEFAULT_DATADIR)
+    if nt is None:
+        nt = cfg.get_int("Ntrain", 60000)
+    ds = read_mnist(datadir, split, nt=nt)
+    X = featurize(ds.images, feature=feature, d=d, rescale=rescale_from(cfg))
+    return X, ds.labels
+
+
+def ensure_sites(workdir: str, n: int, d: int) -> None:
+    """Read-or-create the shared `sites` artifact (fixedL.cc:618-632)."""
+    path = os.path.join(workdir, ckpt.SITES_FILE)
+    if os.path.exists(path):
+        meta = ckpt.read_sites(path)
+        if meta["d"] != d:
+            raise SystemExit(f"Error: d={d} but dimension of sites file is {meta['d']}")
+        if meta["N"] != n:
+            raise SystemExit(f"Error: N={n} but sites file has N={meta['N']}")
+    else:
+        ckpt.write_sites(path, n, d)
+
+
+def require_sites(workdir: str) -> dict:
+    path = os.path.join(workdir, ckpt.SITES_FILE)
+    if not os.path.exists(path):
+        raise SystemExit("Couldn't find file 'sites'")
+    return ckpt.read_sites(path)

@@ -1,0 +1,67 @@
+"""fixedL app: train the multiclass fixed-label MPS (reference: fixedL.cc:573-767).
+
+Usage: python -m tnml_tpu.apps.fixedL <inputfile>
+
+Input parameters (README.md:65-79 names/defaults): datadir, Ntrain, Nbatch, Nsweep,
+cutoff, maxm, minm, ninitial, nthread, lambda, method, Npass, cconv, feature,
+replace/alpha/clip (accepted for parity; unused — dead in the reference too,
+SURVEY.md §2), plus new TPU-side knobs: rescale (reference|fixed), pad, report_cost,
+dp (shard the batch over this many devices), seed.
+
+The reference hardcodes the 'series' feature map here (fixedL.cc:637-642, the
+`feature` input is commented out at :598); we default to series but honor an explicit
+`feature =` line.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from tnml_tpu.apps import common
+from tnml_tpu.data.mnist import TRAIN
+from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
+
+
+def main(argv=None) -> int:
+    cfg = common.load_config(argv or sys.argv)
+
+    d = cfg.get_int("d", 2)
+    maxm = cfg.get_int("maxm", 5000)
+    fl = FixedLConfig(
+        nsweep=cfg.get_int("Nsweep", 50),
+        maxm=maxm,
+        minm=cfg.get_int("minm", max(10, maxm // 2)),
+        cutoff=cfg.get_real("cutoff", 1e-10),
+        lam=cfg.get_real("lambda", 0.0),
+        npass=cfg.get_int("Npass", 4),
+        cconv=cfg.get_real("cconv", 1e-10),
+        method=cfg.get_string("method", "conj"),
+        ninitial=cfg.get_int("ninitial", 100),
+        report_cost=cfg.get_yesno("report_cost", True),
+        pad=cfg.get_int("pad", 0) or None,
+    )
+
+    feature = cfg.get_string("feature", "series")
+    X, labels = common.load_features(cfg, TRAIN, feature, d=d)
+    n = X.shape[1]
+    print(f"{n} sites of dimension {d}")
+    print(f"Total of {X.shape[0]} training images")
+    common.ensure_sites(".", n, d)
+
+    sharding = None
+    ndp = cfg.get_int("dp", 0)
+    if ndp:
+        from tnml_tpu.parallel.mesh import DataParallel, make_mesh
+        sharding = DataParallel(make_mesh(ndp))
+
+    model = FixedLModel.initialize(X, labels, fl, workdir=".")
+    model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=True)
+    print("Writing W to disk")
+    model.save("W")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

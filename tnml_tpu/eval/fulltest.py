@@ -1,0 +1,122 @@
+"""Batched evaluators — the reference's fulltest / separate_fulltest programs.
+
+Where the reference contracts one test image at a time through ``toverlap``
+(util.h:19-40) inside a round-robin loop (util.h:123-200), the whole test set is
+contracted in one batched device sweep over sites: the running state is a
+``[B, K, m]`` wing identical to the training environments, so it reuses
+``env_extend`` (same kernels, same log-scale hygiene).
+
+Decision rules are reference-exact: weights = |P| per label, predict argmax
+(util.h:160-181); separate_fulltest scores per-label MPS overlaps and accumulates
+(o-1)^2 / o^2 costs (separate_fulltest.cc:36-44).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from tnml_tpu.mps.core import MPS
+from tnml_tpu.mps.pack import PackedMPS, pack
+from tnml_tpu.train.env import edge_env, env_extend
+from tnml_tpu.train.step import split_sites
+
+
+def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
+    """Contract the MPS against every image: returns (P [B, L or 1], logscale [B]).
+
+    True model outputs are ``P * exp(logscale)[:, None]``; argmax decisions are
+    scale-free per image.
+    """
+    if X.shape[1] != packed.n:
+        raise ValueError("X length mismatch")
+    nb = X.shape[0]
+    xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))), dtype=dtype)
+    xsites = split_sites(xs, packed.n)
+    state = edge_env(nb, packed.pad, dtype)
+    for j in range(packed.n):
+        state = env_extend(state[0], state[1], xsites[j], packed.cores[j],
+                           fromleft=True)
+    arr, sig = state
+    # right edge: bond index 0 holds the scalar(s)
+    return arr[:, :, 0], sig
+
+
+@dataclass
+class TestReport:
+    n_total: int
+    n_correct: int
+    per_digit_total: np.ndarray
+    per_digit_correct: np.ndarray
+    predictions: np.ndarray
+    costs: Optional[np.ndarray] = None   # separate_fulltest per-digit costs
+
+    @property
+    def accuracy(self) -> float:
+        return self.n_correct / max(self.n_total, 1)
+
+    def print_summary(self) -> None:
+        """Same shape of output as util.h:186-199."""
+        ninc = self.n_total - self.n_correct
+        print(f"{self.n_correct}/{self.n_total} correct "
+              f"({100.0 * self.accuracy:.2f}%), {ninc}/{self.n_total} incorrect "
+              f"({100.0 * ninc / max(self.n_total, 1):.2f}%)")
+        for l in range(10):
+            nt = int(self.per_digit_total[l])
+            if nt == 0:
+                continue
+            nc = int(self.per_digit_correct[l])
+            ni = nt - nc
+            print(f"  Digit {l} {nc}/{nt} correct ({100.0 * nc / nt:.2f}%), "
+                  f"{ni}/{nt} incorrect ({100.0 * ni / nt:.2f}%)")
+        print(f"Total # test images = {self.n_total}")
+        if self.costs is not None:
+            print("Cost functions:")
+            tc = 0.0
+            for l in range(10):
+                tc += float(self.costs[l])
+                print(f"  Digit {l} C = {self.costs[l]:.20f}")
+            print(f"Total C = {tc:.20f}")
+
+
+def full_test(w: MPS, X: np.ndarray, labels: np.ndarray,
+              pad: Optional[int] = None) -> TestReport:
+    """Multiclass evaluation of a labeled MPS (fulltest.cc / util.h fullTest)."""
+    if w.label_site is None:
+        raise ValueError("full_test expects a labeled MPS (fixedL-style)")
+    packed = pack(w, pad or max(w.max_bond(), 2))
+    P, _ = contract_batch(packed, X)
+    weights = np.abs(np.asarray(P))            # fabs, util.h:167
+    pred = weights.argmax(axis=1)
+    correct = pred == labels
+    per_tot = np.bincount(labels, minlength=10)
+    per_cor = np.bincount(labels[correct], minlength=10)
+    return TestReport(n_total=len(labels), n_correct=int(correct.sum()),
+                      per_digit_total=per_tot, per_digit_correct=per_cor,
+                      predictions=pred)
+
+
+def separate_full_test(ws: Sequence[MPS], X: np.ndarray,
+                       labels: np.ndarray) -> TestReport:
+    """One-vs-rest evaluation of 10 label-free MPS (separate_fulltest.cc:7-84)."""
+    nb = X.shape[0]
+    outs = np.zeros((nb, len(ws)))
+    for n, w in enumerate(ws):
+        if w.label_site is not None:
+            raise ValueError(f"W{n}: separate_full_test expects label-free MPS")
+        packed = pack(w, max(w.max_bond(), 2))
+        P, sig = contract_batch(packed, X)
+        outs[:, n] = np.asarray(P)[:, 0] * np.exp(np.asarray(sig))
+    weights = np.abs(outs)
+    pred = weights.argmax(axis=1)
+    correct = pred == labels
+    onehot = np.eye(len(ws))[labels]
+    costs = ((outs - onehot) ** 2).sum(axis=0)  # (o-1)^2 own label, o^2 others
+    per_tot = np.bincount(labels, minlength=10)
+    per_cor = np.bincount(labels[correct], minlength=10)
+    return TestReport(n_total=nb, n_correct=int(correct.sum()),
+                      per_digit_total=per_tot, per_digit_correct=per_cor,
+                      predictions=pred, costs=costs)

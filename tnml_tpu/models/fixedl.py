@@ -1,0 +1,203 @@
+"""fixedL: one multiclass MPS with a 10-dim label index fixed on the central core.
+
+The flagship model family (reference: fixedL.cc).  The label index sits at core
+``N//2`` (1-indexed site N/2, fixedL.cc:616) and never moves.  Initialization follows
+the reference's three paths (fixedL.cc:669-728):
+
+a) warm restart from a saved ``W`` checkpoint,
+b) merge of ten one-vs-rest MPS ``W0..W9`` (from `single` or `linear`), each tensored
+   with its label basis vector and summed,
+c) cold start: per label, sum ``ninitial`` random same-label training product states,
+   scale by 0.1, attach the label vector, then sum across labels and normalize the
+   center core.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from tnml_tpu.io import checkpoint as ckpt
+from tnml_tpu.mps.core import MPS
+from tnml_tpu.mps.ops import mps_sum, product_state
+from tnml_tpu.mps.pack import pack, unpack
+from tnml_tpu.train.engine import SweepEngine
+from tnml_tpu.train.schedule import Sweeps
+
+
+def center_site(n: int) -> int:
+    """0-indexed center: the reference's 1-indexed site N/2 (fixedL.cc:616)."""
+    return n // 2 - 1
+
+
+def cold_start(X: np.ndarray, labels: np.ndarray, *, ninitial: int = 100,
+               n_labels: int = 10, seed: int = 0, verbose: bool = True) -> MPS:
+    """Init path (c): sums of random same-label product states (fixedL.cc:703-728)."""
+    n = X.shape[1]
+    c = center_site(n)
+    rng = np.random.default_rng(seed)
+    ipsis: List[MPS] = []
+    for l in range(n_labels):
+        idx = np.flatnonzero(labels == l)
+        if len(idx) == 0:
+            raise ValueError(f"no training images with label {l}")
+        pick = rng.choice(idx, size=min(ninitial, len(idx)), replace=ninitial > len(idx))
+        if verbose:
+            print(f"Summing {len(pick)} random label {l} states")
+        psis = [product_state(X[i]) for i in pick]
+        s = mps_sum(psis, cutoff=1e-10, maxm=10)
+        s.scale(0.1, site=c)
+        s.attach_label(c, l, n_labels)
+        ipsis.append(s)
+    if verbose:
+        print(f"Summing all {len(ipsis)} label states together")
+    w = mps_sum(ipsis, cutoff=1e-8, maxm=10)
+    w.cores[c] = w.cores[c] / np.linalg.norm(w.cores[c])
+    return w
+
+
+def merge_one_vs_rest(ws: Sequence[MPS], *, cutoff: float = 1e-10,
+                      maxm: int = 2**30, n_labels: int = 10) -> MPS:
+    """Init path (b): attach label vectors to W0..W9 and sum (fixedL.cc:682-701)."""
+    if len(ws) != n_labels:
+        raise ValueError(f"expected {n_labels} MPS, got {len(ws)}")
+    n = ws[0].n
+    c = center_site(n)
+    terms = []
+    for l, w in enumerate(ws):
+        t = w.copy()
+        if t.label_site is not None:
+            raise ValueError(f"W{l} already carries a label index")
+        t.attach_label(c, l, n_labels)
+        terms.append(t)
+    return mps_sum(terms, cutoff=cutoff, maxm=maxm)
+
+
+@dataclass
+class FixedLConfig:
+    nsweep: int = 50
+    maxm: int = 5000
+    minm: Optional[int] = None        # reference default: max(10, maxm//2)
+    cutoff: float = 1e-10
+    lam: float = 0.0
+    npass: int = 4
+    cconv: float = 1e-10
+    method: str = "conj"
+    ninitial: int = 100
+    report_cost: bool = True
+    pad: Optional[int] = None         # padded bond dim; default maxm
+
+    def resolved_minm(self) -> int:
+        return self.minm if self.minm is not None else max(10, self.maxm // 2)
+
+
+class FixedLModel:
+    """Train/evaluate wrapper around the sweep engine for the fixedL family."""
+
+    def __init__(self, w: MPS):
+        if w.label_site is None:
+            raise ValueError("fixedL model needs a labeled MPS")
+        self.w = w
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def initialize(cls, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
+                   workdir: str = ".", verbose: bool = True) -> "FixedLModel":
+        """The reference's three-way init dispatch (fixedL.cc:669-728)."""
+        wpath = os.path.join(workdir, "W")
+        w0path = os.path.join(workdir, "W0")
+        if os.path.exists(wpath):
+            if verbose:
+                print("Reading W from disk")
+            return cls(ckpt.load_mps(wpath))
+        if os.path.exists(w0path):
+            if verbose:
+                print("Found separate W0,W1,...,W9 MPS: summing")
+            ws = [ckpt.load_mps(os.path.join(workdir, f"W{l}")) for l in range(10)]
+            w = merge_one_vs_rest(ws)
+            ckpt.save_mps(wpath, w)
+            return cls(w)
+        w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=verbose)
+        ckpt.save_mps(wpath, w)
+        return cls(w)
+
+    # -- training --------------------------------------------------------------
+
+    def make_engine(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
+                    sharding=None, pad: Optional[int] = None) -> SweepEngine:
+        if pad is None:
+            # XLA needs static shapes: start with a small pad and regrow on demand
+            # (SURVEY.md §7 "Dynamic bond dimensions vs XLA static shapes")
+            pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
+        pad = max(pad, self.w.max_bond())
+        return SweepEngine(pack(self.w, pad), X, labels,
+                           lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
+                           method=cfg.method, report_cost=cfg.report_cost,
+                           sharding=sharding)
+
+    def train(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
+              workdir: Optional[str] = ".", sharding=None, verbose: bool = True,
+              per_sweep_hook=None):
+        """Full mldmrg run with per-sweep checkpointing and control-file polling."""
+        eng = self.make_engine(X, labels, cfg, sharding=sharding)
+        eng.init_envs()
+        if verbose:
+            cost, _, ncor, _ = eng.quadcost(0)
+            print(f"Before starting DMRG Cost = {float(cost) / eng.nt:.10f} "
+                  f"(correct {int(ncor)}/{eng.nt})")
+        history = []
+        stop = [False]
+
+        def control_hook(b, direction):
+            """Per-bond control-file polling (fixedL.cc:542-559)."""
+            if workdir is None:
+                return
+            ctl = ckpt.poll_control_files(workdir)
+            if ctl.get("write_wf"):
+                print("File WRITE_WF found\nWriting W to disk")
+                ckpt.save_mps(os.path.join(workdir, "W"), unpack(eng.packed()))
+            if "lambda" in ctl:
+                print(f"new lambda = {ctl['lambda']}")
+                eng.set_lambda(ctl["lambda"])
+            if ctl.get("stop"):
+                stop[0] = True
+
+        for sw in range(cfg.nsweep):
+            maxm_sw = min(cfg.maxm, eng.pad)
+            sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw), maxm_sw,
+                                      cfg.cutoff)
+            history += eng.run(sweeps1, per_bond_hook=control_hook, verbose=verbose)
+            self.w = unpack(eng.packed())
+            if workdir is not None:
+                ckpt.save_mps(os.path.join(workdir, "W"), self.w)
+            if per_sweep_hook is not None:
+                per_sweep_hook(sw, eng, history)
+            if stop[0]:
+                print("Found file STOP, exiting")
+                break
+            # adaptive pad growth: regrow + recompile only when ranks hit the pad
+            if int(eng.ranks.max()) >= eng.pad and eng.pad < cfg.maxm:
+                new_pad = min(cfg.maxm, eng.pad * 2)
+                if verbose:
+                    print(f"[pad] bond ranks reached {eng.pad}; repacking to {new_pad}")
+                eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
+                eng.init_envs()
+        return history
+
+    # -- inference ---------------------------------------------------------------
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        from tnml_tpu.eval.fulltest import full_test
+        rep = full_test(self.w, X, np.zeros(X.shape[0], dtype=np.int64))
+        return rep.predictions
+
+    def save(self, path: str) -> None:
+        ckpt.save_mps(path, self.w)
+
+    @classmethod
+    def load(cls, path: str) -> "FixedLModel":
+        return cls(ckpt.load_mps(path))

@@ -106,7 +106,7 @@ class SweepEngine:
         self._edge = None
         self._hyp_f = None   # [lambda, cconv, cutoff] device array
         self._hyp_i = None   # [maxm, minm]
-        self._lambda_override: Optional[float] = None
+        self._schedule = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -128,15 +128,17 @@ class SweepEngine:
         return self.env[b + 2] if b + 2 <= self.n - 1 else self._edge_env()
 
     def set_hyper(self, cutoff: float, maxm: int, minm: int) -> None:
-        lam = self._lambda_override if self._lambda_override is not None else self.lam
-        self._hyp_f = jnp.asarray([lam, self.cconv, cutoff], jnp.float32)
+        self._schedule = (float(cutoff), int(maxm), int(minm))
+        self._hyp_f = jnp.asarray([self.lam, self.cconv, cutoff], jnp.float32)
         self._hyp_i = jnp.asarray([maxm, minm], jnp.int32)
 
     def set_lambda(self, lam: float) -> None:
-        """Hot-reload the regularizer (the LAMBDA control file, fixedL.cc:550-559)."""
-        self._lambda_override = float(lam)
+        """Hot-reload the regularizer (the LAMBDA control file, fixedL.cc:550-559).
+
+        Takes effect from the next bond, mid-sweep, like the reference."""
         self.lam = float(lam)
-        self._hyp_f = None
+        if getattr(self, "_schedule", None) is not None:
+            self.set_hyper(*self._schedule)
 
     # -- environments ----------------------------------------------------------
 
@@ -195,6 +197,7 @@ class SweepEngine:
 
     def run(self, sweeps: Sweeps,
             callback: Optional[Callable[[BondStats], None]] = None,
+            per_bond_hook: Optional[Callable[[int, int], None]] = None,
             verbose: bool = True) -> List[BondStats]:
         """All sweeps over all bonds (mldmrg, fixedL.cc:451-570)."""
         if not self.env:
@@ -215,6 +218,8 @@ class SweepEngine:
                 origm = int(self.ranks[b + 1])
                 stats = self.bond_step_async(b, direction)
                 pending.append((sw + 1, b, direction, origm, stats))
+                if per_bond_hook is not None:
+                    per_bond_hook(b, direction)
             # one bulk fetch per sweep
             fetched = np.asarray(jnp.stack([p[4] for p in pending]))
             dt = time.perf_counter() - t0
