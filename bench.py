@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: fixedL sweep wall-clock at m=120 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config (BASELINE.md "fixedL full" anchor, scaled by TNML_BENCH_B): N=784 sites,
+feature='series' with the reference's double-/255 normalization, fixed label index at
+the central core, maxm=120, Npass=4 CG passes, lambda=1e-3, per-bond post-SVD cost
+reporting on (the reference's mldmrg does it every bond, fixedL.cc:532).
+
+Timing: sweep 1 warms compilation and rank growth; the reported value is the mean of
+the next TNML_BENCH_SWEEPS (default 2) full sweeps (2*(N-1)=1566 bond steps each).
+Padded static shapes make sweep time rank-independent, so this is steady-state.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline is an
+analytic estimate of the reference binary on the same config:
+  flops/bond ~ (2*Npass + 1) gradient-shaped data passes * 2 contractions
+               * 2 * NT * m^2 * d^2 * L   (f64)
+at an assumed 50 GFLOP/s aggregate for 16 pthreads (paralleldo.h caps at 16;
+setOneThread pins BLAS to 1 thread, so per-thread small-tensor contractions at
+~3 GFLOP/s f64 is generous).  vs_baseline = est_ref_seconds / measured_seconds;
+> 1 means this framework is faster.
+
+Env overrides: TNML_BENCH_B (10000), TNML_BENCH_MAXM (120), TNML_BENCH_NPASS (4),
+TNML_BENCH_SWEEPS (2), TNML_BENCH_ENV_DTYPE (bf16|f32), TNML_BENCH_LABEL_MODE
+(fixed|moving), TNML_BENCH_N (784 -> 28x28 images).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> int:
+    B = int(os.environ.get("TNML_BENCH_B", 10000))
+    maxm = int(os.environ.get("TNML_BENCH_MAXM", 120))
+    npass = int(os.environ.get("TNML_BENCH_NPASS", 4))
+    nsweeps = int(os.environ.get("TNML_BENCH_SWEEPS", 2))
+    env_dtype_s = os.environ.get("TNML_BENCH_ENV_DTYPE", "bf16")
+    label_mode = os.environ.get("TNML_BENCH_LABEL_MODE", "fixed")
+    n_sites = int(os.environ.get("TNML_BENCH_N", 784))
+    size = int(round(n_sites ** 0.5))
+
+    import jax
+    import jax.numpy as jnp
+
+    from tnml_tpu.data.mnist import TRAIN, read_mnist
+    from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel, cold_start
+    from tnml_tpu.ops.feature import FEATURE_SERIES, featurize
+    from tnml_tpu.train.schedule import Sweeps
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    ds = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=max(1, B // 10),
+                    size=size, verbose=False)
+    X = featurize(ds.images, FEATURE_SERIES, d=2)
+    labels = ds.labels
+    print(f"[bench] {X.shape[0]} images, {X.shape[1]} sites, maxm={maxm}, "
+          f"npass={npass}, env_dtype={env_dtype_s}, label_mode={label_mode}",
+          file=sys.stderr)
+
+    cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
+                       ninitial=10, pad=maxm, label_mode=label_mode)
+    t0 = time.time()
+    w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
+    model = FixedLModel(w)
+    print(f"[bench] cold start: {time.time() - t0:.1f}s, "
+          f"init bond {w.max_bond()}", file=sys.stderr)
+
+    try:
+        env_dtype = {"bf16": jnp.bfloat16, "f32": None}[env_dtype_s]
+    except KeyError:
+        raise SystemExit(f"TNML_BENCH_ENV_DTYPE={env_dtype_s!r} not recognized "
+                         "(bf16|f32)")
+    eng = model.make_engine(X, labels, cfg, pad=maxm)
+    eng.env_dtype = env_dtype
+    t0 = time.time()
+    eng.init_envs()
+    jax.block_until_ready(eng.env[2][0])
+    print(f"[bench] env init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    sweeps1 = Sweeps.constant(1, min(10, maxm), maxm, 1e-10)
+    t0 = time.time()
+    eng.run(sweeps1, verbose=False)
+    warm = time.time() - t0
+    print(f"[bench] warm sweep (compile): {warm:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(nsweeps):
+        t0 = time.time()
+        hist = eng.run(sweeps1, verbose=False)
+        times.append(time.time() - t0)
+        print(f"[bench] sweep {i + 2}: {times[-1]:.2f}s "
+              f"cost/NT={hist[-1].cost / eng.nt:.6f} "
+              f"correct={hist[-1].ncorrect}/{eng.nt} "
+              f"maxrank={int(eng.ranks.max())}", file=sys.stderr)
+    secs = float(np.mean(times))
+
+    # analytic reference estimate (see module docstring)
+    d, L, NT, N = 2, 10, X.shape[0], X.shape[1]
+    passes = 2 * npass + 1
+    flops_per_bond = passes * 2 * 2 * NT * (maxm ** 2) * (d ** 2) * L
+    ref_flops = 2 * (N - 1) * flops_per_bond
+    ref_seconds = ref_flops / 50e9
+    out = {
+        "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
+                  f"npass={npass}, {label_mode} label, env={env_dtype_s})",
+        "value": round(secs, 3),
+        "unit": "s/sweep",
+        "vs_baseline": round(ref_seconds / secs, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

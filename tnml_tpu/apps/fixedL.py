@@ -41,6 +41,7 @@ def main(argv=None) -> int:
         ninitial=cfg.get_int("ninitial", 100),
         report_cost=cfg.get_yesno("report_cost", True),
         pad=cfg.get_int("pad", 0) or None,
+        label_mode=cfg.get_string("label_mode", "fixed"),
     )
 
     feature = cfg.get_string("feature", "series")

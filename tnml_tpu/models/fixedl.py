@@ -88,7 +88,9 @@ class FixedLConfig:
     method: str = "conj"
     ninitial: int = 100
     report_cost: bool = True
-    pad: Optional[int] = None         # padded bond dim; default maxm
+    pad: Optional[int] = None         # padded bond dim; default grows on demand
+    label_mode: str = "fixed"         # 'fixed' (reference) | 'moving' (paper; all
+                                      # wings label-free -> 10x less env memory)
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
@@ -129,6 +131,9 @@ class FixedLModel:
 
     def make_engine(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
                     sharding=None, pad: Optional[int] = None) -> SweepEngine:
+        if cfg.label_mode == "moving" and self.w.label_site not in (0, 1):
+            # transporting the label grows bonds by up to d per site; cap at maxm
+            self.w.move_label(0, cutoff=1e-12, maxm=cfg.maxm)
         if pad is None:
             # XLA needs static shapes: start with a small pad and regrow on demand
             # (SURVEY.md §7 "Dynamic bond dimensions vs XLA static shapes")
@@ -137,7 +142,7 @@ class FixedLModel:
         return SweepEngine(pack(self.w, pad), X, labels,
                            lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
-                           sharding=sharding)
+                           label_mode=cfg.label_mode, sharding=sharding)
 
     def train(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
               workdir: Optional[str] = ".", sharding=None, verbose: bool = True,

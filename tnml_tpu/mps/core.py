@@ -142,6 +142,40 @@ class MPS:
     def scale(self, factor: float, site: int = 0) -> None:
         self.cores[site] = self.cores[site] * factor
 
+    def move_label(self, target: int, cutoff: float = 0.0, maxm: int = 2**30) -> None:
+        """Gauge-transport the label axis to another core (the reference's dormant
+        ``movePos``, util.h:202-244, realized).
+
+        Used by the moving-label training mode, where the label rides with the active
+        bond so every environment wing stays label-free — the memory-critical layout
+        for large-batch TPU runs (a fixed label makes half the wings 10x wider).
+        """
+        if self.label_site is None:
+            raise ValueError("MPS has no label axis")
+        while self.label_site != target:
+            p = self.label_site
+            step = 1 if target > p else -1
+            q = p + step
+            cp, cq = self.cores[p], self.cores[q]
+            if step > 0:
+                # T[a, s, L, t, r] -> rows (a,s), label goes right
+                T = np.einsum("asml,mtr->astrl", cp, cq)
+                a, s, t, r, L = T.shape
+                U, sv, Vt, _ = svd_truncate(T.reshape(a * s, t * r * L),
+                                            cutoff, maxm, 1)
+                k = len(sv)
+                self.cores[p] = U.reshape(a, s, k)
+                self.cores[q] = (sv[:, None] * Vt).reshape(k, t, r, L)
+            else:
+                T = np.einsum("atm,msrl->atsrl", cq, cp)  # q left of p
+                a, t, s, r, L = T.shape
+                M = T.transpose(0, 1, 4, 2, 3).reshape(a * t * L, s * r)
+                U, sv, Vt, _ = svd_truncate(M, cutoff, maxm, 1)
+                k = len(sv)
+                self.cores[q] = U.reshape(a, t, L, k).transpose(0, 1, 3, 2)
+                self.cores[p] = (sv[:, None] * Vt).reshape(k, s, r)
+            self.label_site = q
+
     def attach_label(self, site: int, label: int, n_labels: int = 10) -> None:
         """Tensor a label basis vector onto core ``site`` (fixedL.cc:693,721)."""
         if self.label_site is not None:

@@ -63,7 +63,9 @@ class SweepEngine:
                  method: str = "conj",
                  target_label: Optional[int] = None,   # single-model mode
                  report_cost: bool = True,
+                 label_mode: str = "fixed",
                  dtype=jnp.float32,
+                 env_dtype=None,     # e.g. jnp.bfloat16: wing STORAGE dtype
                  sharding=None):
         if X.ndim != 3 or X.shape[1] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
@@ -80,7 +82,17 @@ class SweepEngine:
         self.method = method
         self.report_cost = report_cost
         self.dtype = dtype
+        self.env_dtype = env_dtype
         self.sharding = sharding
+        if label_mode not in ("fixed", "moving"):
+            raise ValueError("label_mode must be 'fixed' or 'moving'")
+        if label_mode == "moving":
+            if model.label_site is None:
+                raise ValueError("moving label mode needs a labeled MPS")
+            if model.label_site > 1:
+                raise ValueError("moving mode: move the label to site 0 or 1 "
+                                 "before packing (MPS.move_label)")
+        self.label_mode = label_mode
 
         # site-major features, split once into per-site device arrays so the bond
         # loop never does an eager slice
@@ -117,7 +129,7 @@ class SweepEngine:
 
     def _edge_env(self):
         if self._edge is None:
-            e = edge_env(self.nt, self.pad, self.dtype)
+            e = edge_env(self.nt, self.pad, self.env_dtype or self.dtype)
             self._edge = (self._shard(e[0], 0), self._shard(e[1], 0))
         return self._edge
 
@@ -149,7 +161,7 @@ class SweepEngine:
         prev = self._edge_env()
         for j in range(self.n - 1, 1, -1):
             prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],
-                              fromleft=False)
+                              fromleft=False, out_dtype=self.env_dtype)
             self.env[j] = prev
 
     # -- per-bond step ---------------------------------------------------------
@@ -170,7 +182,14 @@ class SweepEngine:
         """Enqueue one fused bond step; returns the device stats vector."""
         le, re = self._le(b), self._re(b)
         case = bond_ops.bond_case(b, self.label_site)
-        label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
+        if self.label_mode == "moving":
+            # invariant: the label always rides on one of the two active cores,
+            # and the split sends it in the sweep direction (paper-style algorithm)
+            if case not in ("coreL", "coreR"):
+                raise RuntimeError(f"moving label lost: site {self.label_site}, bond {b}")
+            label_leg = "right" if direction > 0 else "left"
+        else:
+            label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
         wl, wr, env_arr, env_sig, stats = step_ops.fused_bond_step(
             self.cores[b], self.cores[b + 1],
             le[0], le[1], re[0], re[1],
@@ -178,9 +197,12 @@ class SweepEngine:
             self._hyp_f, self._hyp_i,
             label_leg=label_leg, iso_left=(direction > 0),
             fast=(self.method == "fast_conj"), npass=self.npass,
-            check_r0=(self.label_site is None), report=self.report_cost)
+            check_r0=(self.label_site is None), report=self.report_cost,
+            env_dtype=self.env_dtype)
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env[b if direction > 0 else b + 1] = (env_arr, env_sig)
+        if self.label_mode == "moving":
+            self.label_site = b + 1 if direction > 0 else b
         return stats
 
     def bond_step(self, sweep_idx: int, b: int, direction: int,

@@ -26,19 +26,22 @@ Env = Tuple[jnp.ndarray, jnp.ndarray]  # (arr [B, K, m], sigma [B])
 
 
 def edge_env(batch: int, pad: int, dtype=jnp.float32) -> Env:
-    """The trivial dim-1 boundary environment, padded: one-hot at bond index 0."""
+    """The trivial dim-1 boundary environment, padded: one-hot at bond index 0.
+
+    Per-image log-scales are always float32, whatever the wing storage dtype."""
     arr = jnp.zeros((batch, 1, pad), dtype=dtype).at[:, 0, 0].set(1.0)
-    return arr, jnp.zeros((batch,), dtype=dtype)
+    return arr, jnp.zeros((batch,), jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("fromleft",))
+@partial(jax.jit, static_argnames=("fromleft", "out_dtype"))
 def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
-               core: jnp.ndarray, fromleft: bool) -> Env:
+               core: jnp.ndarray, fromleft: bool, out_dtype=None) -> Env:
     """Extend a wing by one site: E' = E · (φ(x)·W_site)  (fixedL.cc:144-150,223-229).
 
     ``core`` rank 3 ([m,d,m]) keeps K; rank 4 ([m,d,m,L]) injects the label axis
     (K: 1 -> L).  ``fromleft=True`` grows a left wing (contract the core's left bond),
-    else a right wing.
+    else a right wing.  ``out_dtype`` (e.g. bfloat16) controls wing STORAGE only —
+    contraction math stays in the compute dtype; per-image scales stay float32.
     """
     if core.ndim == 3:
         if fromleft:
@@ -56,4 +59,6 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     mx = jnp.max(jnp.abs(out), axis=(1, 2))
     safe = jnp.where(mx > 0, mx, 1.0)
     out = out / safe[:, None, None]
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     return out, sigma + jnp.log(safe)

@@ -35,11 +35,11 @@ def stats_len(npass: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "fast", "npass",
-                                   "check_r0", "report"))
+                                   "check_r0", "report", "env_dtype"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i,
                     label_leg: str, iso_left: bool, fast: bool, npass: int,
-                    check_r0: bool, report: bool):
+                    check_r0: bool, report: bool, env_dtype=None):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``env_arr/env_sig`` is the shifted wing: built from LE over the left active site
@@ -67,9 +67,11 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
     # environment shift over the freshly isometric core
     from tnml_tpu.train.env import env_extend
     if iso_left:
-        env_arr, env_sig = env_extend(LE, lsc, xc, nwl, fromleft=True)
+        env_arr, env_sig = env_extend(LE, lsc, xc, nwl, fromleft=True,
+                                      out_dtype=env_dtype)
     else:
-        env_arr, env_sig = env_extend(RE, rsc, x1, nwr, fromleft=False)
+        env_arr, env_sig = env_extend(RE, rsc, x1, nwr, fromleft=False,
+                                      out_dtype=env_dtype)
 
     stats = jnp.zeros((stats_len(npass),), jnp.float32)
     stats = stats.at[S_RANK].set(rank.astype(jnp.float32))
