@@ -63,6 +63,21 @@ def load_mps(path: str) -> MPS:
     return MPS(cores, label_site=None if ls < 0 else ls)
 
 
+def save_vector(path: str, v: np.ndarray) -> None:
+    """Dense parameter vector under an extensionless reference filename (V%d)."""
+    buf = io.BytesIO()
+    np.savez_compressed(buf, v=np.asarray(v, dtype=np.float64))
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def load_vector(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return np.load(io.BytesIO(f.read()))["v"]
+
+
 def poll_control_files(cwd: str = ".") -> dict:
     """Check-and-consume the runtime control files; returns what was found."""
     out = {}

@@ -1,0 +1,133 @@
+"""single: one-vs-rest MPS for one target label, scalar output (reference:
+single.cc / single.h).
+
+The model has no label index; its output should be ~1 on images of the target label
+and ~0 otherwise (single.h:103).  Supports all four optimizers (conj, fast_conj,
+exact, pinv) and the DMRG noise-term update.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from tnml_tpu.io import checkpoint as ckpt
+from tnml_tpu.mps.core import MPS
+from tnml_tpu.mps.ops import mps_sum, product_state
+from tnml_tpu.mps.pack import pack, unpack
+from tnml_tpu.train.engine import SweepEngine
+from tnml_tpu.train.schedule import Sweeps
+
+
+@dataclass
+class SingleConfig:
+    label: int = 0
+    nsweep: int = 50
+    maxm: int = 5000
+    minm: Optional[int] = None
+    cutoff: float = 1e-8
+    noise: float = 0.0
+    lam: float = 0.0
+    npass: int = 4
+    cconv: float = 1e-10
+    method: str = "conj"
+    ntarget: int = 10
+    pcut: float = 1e-8
+    ninitial: int = 100
+    report_cost: bool = True
+    pad: Optional[int] = None
+
+    def resolved_minm(self) -> int:
+        return self.minm if self.minm is not None else max(10, self.maxm // 2)
+
+    @property
+    def wname(self) -> str:
+        return f"W{self.label}"   # format("W%d", L), single.cc:53
+
+
+def single_cold_start(X: np.ndarray, labels: np.ndarray, target: int,
+                      ninitial: int, seed: int = 0, verbose: bool = True) -> MPS:
+    """Sum ninitial random target-label product states; orthogonalize; normalize
+    the first core (single.cc:112-124)."""
+    idx = np.flatnonzero(labels == target)
+    if len(idx) == 0:
+        raise ValueError(f"no training images with label {target}")
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(idx, size=min(ninitial, len(idx)), replace=ninitial > len(idx))
+    if verbose:
+        print(f"Summing {len(pick)} random label {target} states")
+    w = mps_sum([product_state(X[i]) for i in pick], cutoff=1e-10, maxm=10)
+    w.cores[0] = w.cores[0] / np.linalg.norm(w.cores[0])
+    return w
+
+
+class SingleModel:
+    def __init__(self, w: MPS, label: int):
+        if w.label_site is not None:
+            raise ValueError("single model must be label-free")
+        self.w = w
+        self.label = label
+
+    @classmethod
+    def initialize(cls, X: np.ndarray, labels: np.ndarray, cfg: SingleConfig,
+                   workdir: str = ".", verbose: bool = True) -> "SingleModel":
+        path = os.path.join(workdir, cfg.wname)
+        if os.path.exists(path):
+            if verbose:
+                print(f"Reading {cfg.wname} from file")
+            return cls(ckpt.load_mps(path), cfg.label)
+        return cls(single_cold_start(X, labels, cfg.label, cfg.ninitial,
+                                     verbose=verbose), cfg.label)
+
+    def make_engine(self, X, labels, cfg: SingleConfig, sharding=None,
+                    pad: Optional[int] = None) -> SweepEngine:
+        if pad is None:
+            pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
+        pad = max(pad, self.w.max_bond())
+        return SweepEngine(pack(self.w, pad), X, labels,
+                           lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
+                           method=cfg.method, pcut=cfg.pcut, ntarget=cfg.ntarget,
+                           target_label=cfg.label, report_cost=cfg.report_cost,
+                           sharding=sharding)
+
+    def train(self, X, labels, cfg: SingleConfig, workdir: Optional[str] = ".",
+              sharding=None, verbose: bool = True):
+        eng = self.make_engine(X, labels, cfg, sharding=sharding)
+        eng.init_envs()
+        if verbose:
+            cost, _, _, _ = eng.quadcost(0)
+            print(f"Before DMRG, Cost = {float(cost) / eng.nt:.10f}")
+        history = []
+
+        def control_hook(b, direction):
+            if workdir is None:
+                return
+            ctl = ckpt.poll_control_files(workdir)
+            if ctl.get("write_wf"):
+                print(f"File WRITE_WF found\nWriting {cfg.wname} to disk")
+                ckpt.save_mps(os.path.join(workdir, cfg.wname), unpack(eng.packed()))
+            if "lambda" in ctl:
+                print(f"new lambda = {ctl['lambda']}")
+                eng.set_lambda(ctl["lambda"])
+
+        for sw in range(cfg.nsweep):
+            maxm_sw = min(cfg.maxm, eng.pad)
+            sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw),
+                                      maxm_sw, cfg.cutoff, noise=cfg.noise)
+            history += eng.run(sweeps1, per_bond_hook=control_hook, verbose=verbose)
+            self.w = unpack(eng.packed())
+            if workdir is not None:
+                ckpt.save_mps(os.path.join(workdir, cfg.wname), self.w)
+            if int(eng.ranks.max()) >= eng.pad and eng.pad < cfg.maxm:
+                new_pad = min(cfg.maxm, eng.pad * 2)
+                if verbose:
+                    print(f"[pad] bond ranks reached {eng.pad}; repacking to {new_pad}")
+                eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
+                eng.init_envs()
+        return history
+
+    def save(self, path: str) -> None:
+        ckpt.save_mps(path, self.w)

@@ -44,6 +44,7 @@ class BondStats:
     cost: float            # quadcost after SVD (sum over images, incl. reg)
     ncorrect: int
     reg: float
+    aux: float             # method-specific (pinv: cost of the sketched solution)
     per_label_cost: np.ndarray
     cg_passes: int
     cg_r0: float
@@ -61,6 +62,8 @@ class SweepEngine:
                  npass: int = 4,
                  cconv: float = 1e-10,
                  method: str = "conj",
+                 pcut: float = 1e-8,
+                 ntarget: int = 10,
                  target_label: Optional[int] = None,   # single-model mode
                  report_cost: bool = True,
                  label_mode: str = "fixed",
@@ -69,8 +72,12 @@ class SweepEngine:
                  sharding=None):
         if X.ndim != 3 or X.shape[1] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
-        if method not in ("conj", "fast_conj"):
-            raise ValueError(f"method {method!r} not supported by the CG engine")
+        if method not in ("conj", "fast_conj", "exact", "pinv"):
+            raise ValueError(f'method type "{method}" not recognized')
+        if method in ("exact", "pinv") and model.label_site is not None:
+            # parity: fixedL supports conj only (fixedL.cc:504-505); the direct
+            # solvers are single-model features (single.h:593-605)
+            raise ValueError(f"method {method!r} requires the label-free model")
         self.model = model
         self.n = model.n
         self.nt = int(X.shape[0])
@@ -80,6 +87,10 @@ class SweepEngine:
         self.npass = int(npass)
         self.cconv = float(cconv)
         self.method = method
+        self.pcut = float(pcut)
+        self.ntarget = int(ntarget)
+        self.noise = 0.0
+        self._key_counter = 0
         self.report_cost = report_cost
         self.dtype = dtype
         self.env_dtype = env_dtype
@@ -139,10 +150,13 @@ class SweepEngine:
     def _re(self, b: int):
         return self.env[b + 2] if b + 2 <= self.n - 1 else self._edge_env()
 
-    def set_hyper(self, cutoff: float, maxm: int, minm: int) -> None:
-        self._schedule = (float(cutoff), int(maxm), int(minm))
-        self._hyp_f = jnp.asarray([self.lam, self.cconv, cutoff], jnp.float32)
-        self._hyp_i = jnp.asarray([maxm, minm], jnp.int32)
+    def set_hyper(self, cutoff: float, maxm: int, minm: int,
+                  noise: float = 0.0) -> None:
+        self._schedule = (float(cutoff), int(maxm), int(minm), float(noise))
+        self.noise = float(noise)
+        self._hyp_f = jnp.asarray([self.lam, self.cconv, cutoff, self.pcut, noise],
+                                  jnp.float32)
+        self._hyp_i = jnp.asarray([maxm, minm, self.ntarget], jnp.int32)
 
     def set_lambda(self, lam: float) -> None:
         """Hot-reload the regularizer (the LAMBDA control file, fixedL.cc:550-559).
@@ -190,14 +204,17 @@ class SweepEngine:
             label_leg = "right" if direction > 0 else "left"
         else:
             label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
+        self._key_counter += 1
+        key = np.asarray([self._key_counter], dtype=np.uint32)
         wl, wr, env_arr, env_sig, stats = step_ops.fused_bond_step(
             self.cores[b], self.cores[b + 1],
             le[0], le[1], re[0], re[1],
             self.Xsites[b], self.Xsites[b + 1], self.Y, self.labels,
-            self._hyp_f, self._hyp_i,
+            self._hyp_f, self._hyp_i, key,
             label_leg=label_leg, iso_left=(direction > 0),
-            fast=(self.method == "fast_conj"), npass=self.npass,
+            method=self.method, npass=self.npass,
             check_r0=(self.label_site is None), report=self.report_cost,
+            use_noise=(self.noise >= 1e-14), ntarget=self.ntarget,
             env_dtype=self.env_dtype)
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env[b if direction > 0 else b + 1] = (env_arr, env_sig)
@@ -231,7 +248,7 @@ class SweepEngine:
             cutoff = float(sweeps.cutoff[sw])
             if maxm > self.pad:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds padded dim {self.pad}")
-            self.set_hyper(cutoff, maxm, minm)
+            self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
             if verbose:
                 print(f"\nSweep {sw + 1} maxm={maxm} minm={minm} cutoff={cutoff:g}")
             t0 = time.perf_counter()
@@ -258,8 +275,9 @@ class SweepEngine:
                        f"{dt / (2 * (self.n - 1)) * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
                 if self.report_cost:
-                    msg += (f", cost/NT {last.cost / self.nt:.10f}, "
-                            f"correct {last.ncorrect}/{self.nt}")
+                    msg += f", cost/NT {last.cost / self.nt:.10f}"
+                    if self.label_site is not None:
+                        msg += f", correct {last.ncorrect}/{self.nt}"
                 print(msg)
         return history
 
@@ -272,6 +290,7 @@ class SweepEngine:
             cost=float(vec[step_ops.S_COST]),
             ncorrect=int(vec[step_ops.S_NCOR]),
             reg=float(vec[step_ops.S_REG]),
+            aux=float(vec[step_ops.S_AUX]),
             per_label_cost=vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10].copy(),
             cg_passes=int(vec[step_ops.S_PASSES]),
             cg_r0=float(vec[step_ops.S_R0]),

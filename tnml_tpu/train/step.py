@@ -25,35 +25,72 @@ from jax import lax
 from tnml_tpu.train import bond as bond_ops
 
 # stats vector layout
-S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES = range(7)
-S_PER_LABEL = 7           # 10 entries
-S_CG = 17                 # npass cost entries, then npass |r| entries
+S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES, S_AUX = range(8)
+S_PER_LABEL = 8           # 10 entries
+S_CG = 18                 # npass cost entries, then npass |r| entries
 
 
 def stats_len(npass: int) -> int:
     return S_CG + 2 * npass
 
 
-@partial(jax.jit, static_argnames=("label_leg", "iso_left", "fast", "npass",
-                                   "check_r0", "report", "env_dtype"))
+@partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
+                                   "check_r0", "report", "use_noise", "ntarget",
+                                   "env_dtype"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
-                    hyp_f, hyp_i,
-                    label_leg: str, iso_left: bool, fast: bool, npass: int,
-                    check_r0: bool, report: bool, env_dtype=None):
+                    hyp_f, hyp_i, key,
+                    label_leg: str, iso_left: bool, method: str, npass: int,
+                    check_r0: bool, report: bool, use_noise: bool = False,
+                    ntarget: int = 10, env_dtype=None):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
-    ``env_arr/env_sig`` is the shifted wing: built from LE over the left active site
-    when sweeping right (iso_left=True), from RE over the right active site otherwise
-    — exactly TrainStates::shiftE (fixedL.cc:192-233).
+    ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
+    supports conj, fixedL.cc:504-505).  ``use_noise`` switches the split to the
+    DMRG density-matrix update (single.h:625-672).  ``env_arr/env_sig`` is the
+    shifted wing: built from LE over the left active site when sweeping right
+    (iso_left=True), from RE over the right active site otherwise — exactly
+    TrainStates::shiftE (fixedL.cc:192-233).  ``key``: uint32[2] seed material for
+    pinv's random sketch start (ignored otherwise).
     """
-    lam, cconv, cutoff = hyp_f[0], hyp_f[1], hyp_f[2]
-    maxm, minm = hyp_i[0], hyp_i[1]
+    from tnml_tpu.train import solvers
+
+    lam, cconv, cutoff, pcut, noise = (hyp_f[0], hyp_f[1], hyp_f[2], hyp_f[3],
+                                       hyp_f[4])
+    maxm, minm = hyp_i[0], hyp_i[1]   # hyp_i[2] mirrors the static `ntarget`
 
     B5 = bond_ops.make_bond(wl, wr)
-    cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
-                          npass=npass, fast=fast, check_r0=check_r0)
-    nwl, nwr, rank, truncerr = bond_ops.split_bond(
-        cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left)
+    aux = jnp.float32(0.0)
+    if method in ("conj", "fast_conj"):
+        cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
+                              npass=npass, fast=(method == "fast_conj"),
+                              check_r0=check_r0)
+    elif method == "exact":
+        Bex = solvers.exact_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0], lam, pcut)
+        cg = bond_ops.CGResult(Bex, jnp.int32(0), jnp.float32(0.0),
+                               jnp.zeros((npass,), jnp.float32),
+                               jnp.zeros((npass,), jnp.float32))
+    elif method == "pinv":
+        # reference quirk preserved: pinv's solution is only REPORTED (its cost
+        # lands in the AUX stats slot); the kept update comes from a conj
+        # refinement of the original B (single.h:596-604)
+        k = jax.random.PRNGKey(key[0])
+        V0 = jax.random.normal(k, (B5.size, ntarget), jnp.float32)
+        Bp, _VE = solvers.pinv_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0],
+                                     lam, pcut, V0, npass=npass)
+        aux, _, _, _ = bond_ops.quadcost(Bp, LE, lsc, RE, rsc, xc, x1, Y,
+                                         labels, lam)
+        cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
+                              npass=npass, fast=False, check_r0=check_r0)
+    else:
+        raise ValueError(f"method {method!r} not recognized")
+
+    if use_noise:
+        env, env_s = (LE, lsc) if iso_left else (RE, rsc)
+        nwl, nwr, rank, truncerr = solvers.noise_split(
+            cg.B5, env, env_s, cutoff, maxm, minm, noise, iso_left=iso_left)
+    else:
+        nwl, nwr, rank, truncerr = bond_ops.split_bond(
+            cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left)
 
     if report:
         newB = bond_ops.make_bond(nwl, nwr)
@@ -74,6 +111,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                                       out_dtype=env_dtype)
 
     stats = jnp.zeros((stats_len(npass),), jnp.float32)
+    stats = stats.at[S_AUX].set(aux)
     stats = stats.at[S_RANK].set(rank.astype(jnp.float32))
     stats = stats.at[S_TRUNCERR].set(truncerr)
     stats = stats.at[S_COST].set(cost)
