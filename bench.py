@@ -23,7 +23,8 @@ setOneThread pins BLAS to 1 thread, so per-thread small-tensor contractions at
 
 Env overrides: TNML_BENCH_B (10000), TNML_BENCH_MAXM (120), TNML_BENCH_NPASS (4),
 TNML_BENCH_SWEEPS (2), TNML_BENCH_ENV_DTYPE (bf16|f32), TNML_BENCH_LABEL_MODE
-(fixed|moving), TNML_BENCH_N (784 -> 28x28 images).
+(fixed|moving), TNML_BENCH_METHOD (fast_conj_exact|conj|fast_conj), TNML_BENCH_N
+(784 -> 28x28 images).
 """
 
 import json
@@ -43,11 +44,15 @@ def main() -> int:
     nsweeps = int(os.environ.get("TNML_BENCH_SWEEPS", 2))
     env_dtype_s = os.environ.get("TNML_BENCH_ENV_DTYPE", "bf16")
     label_mode = os.environ.get("TNML_BENCH_LABEL_MODE", "fixed")
+    method = os.environ.get("TNML_BENCH_METHOD", "fast_conj_exact")
     n_sites = int(os.environ.get("TNML_BENCH_N", 784))
     size = int(round(n_sites ** 0.5))
 
     import jax
     import jax.numpy as jnp
+
+    from tnml_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from tnml_tpu.data.mnist import TRAIN, read_mnist
     from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel, cold_start
@@ -64,7 +69,7 @@ def main() -> int:
           file=sys.stderr)
 
     cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
-                       ninitial=10, pad=maxm, label_mode=label_mode)
+                       ninitial=10, pad=maxm, label_mode=label_mode, method=method)
     t0 = time.time()
     w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
     model = FixedLModel(w)
@@ -108,7 +113,7 @@ def main() -> int:
     ref_seconds = ref_flops / 50e9
     out = {
         "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
-                  f"npass={npass}, {label_mode} label, env={env_dtype_s})",
+                  f"npass={npass}, {method}, {label_mode} label, env={env_dtype_s})",
         "value": round(secs, 3),
         "unit": "s/sweep",
         "vs_baseline": round(ref_seconds / secs, 2),

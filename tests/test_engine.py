@@ -254,6 +254,23 @@ def test_single_mode_target_label():
     assert np.abs(outs[~tgt]).mean() < 0.35
 
 
+def test_fast_conj_exact_matches_conj_iterates():
+    """The corrected residual recurrence reproduces conj's iterates closely
+    (identical in exact arithmetic)."""
+    W, X, labels = make_problem(n=5, batch=16, label_site=2, seed=9)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    outs = {}
+    for method in ("conj", "fast_conj_exact"):
+        eng = SweepEngine(pack(W, pad=6), X, labels, lam=1e-3, npass=3,
+                          method=method)
+        eng.init_envs()
+        eng.run(Sweeps.constant(1, 2, 6, 1e-10), verbose=False)
+        W2 = unpack(eng.packed())
+        outs[method] = np.stack([evaluate_mps(W2, X[i]) for i in range(X.shape[0])])
+    np.testing.assert_allclose(outs["conj"], outs["fast_conj_exact"],
+                               rtol=0.1, atol=2e-2)
+
+
 def test_fast_conj_matches_conj_prediction():
     """fast_conj's residual recurrence tracks the recomputed gradient closely for
     well-conditioned problems (single.h:252-255 TODO realized)."""

@@ -25,6 +25,8 @@ def load_config(argv) -> Config:
     if len(argv) != 2:
         print(f"Usage: {argv[0]} inputfile")
         sys.exit(0)
+    from tnml_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     return read_input_file(argv[1])
 
 

@@ -57,22 +57,32 @@ def make_bond(wl: jnp.ndarray, wr: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _wing_products(LE, RE, xc, x1):
-    """Lphi [B,K_l,a,s] and Rphi [B,K_r,t,r] — φ folded into the wings."""
+def _wing_products(LE, RE, xc, x1, mxu_dtype=None):
+    """Lphi [B,K_l,a,s] and Rphi [B,K_r,t,r] — φ folded into the wings.
+
+    With ``mxu_dtype=bfloat16`` the products are stored in bf16 so the big batched
+    einsums hit the MXU's bf16 path; every contraction below still accumulates in
+    float32 via ``preferred_element_type``.
+    """
     Lphi = LE[:, :, :, None] * xc[:, None, None, :]
     Rphi = RE[:, :, None, :] * x1[:, None, :, None]
+    if mxu_dtype is not None:
+        Lphi = Lphi.astype(mxu_dtype)
+        Rphi = Rphi.astype(mxu_dtype)
     return Lphi, Rphi
 
 
 def apply_bond(B5, Lphi, Rphi):
     """P[b,k,j,m] = <v_b | B>: the model output before target comparison."""
-    return jnp.einsum("bkas,astrj,bmtr->bkjm", Lphi, B5, Rphi)
+    return jnp.einsum("bkas,astrj,bmtr->bkjm", Lphi, B5.astype(Lphi.dtype), Rphi,
+                      preferred_element_type=jnp.float32)
 
 
 def outer_grad(w, Lphi, Rphi):
     """G[a,s,t,r,j] = sum_b w[b,k,j,m] · v_b — the batched dP·dag(v) accumulation
     (fixedL.cc:375-380)."""
-    return jnp.einsum("bkjm,bkas,bmtr->astrj", w, Lphi, Rphi)
+    return jnp.einsum("bkjm,bkas,bmtr->astrj", w.astype(Lphi.dtype), Lphi, Rphi,
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -88,18 +98,25 @@ class CGResult(NamedTuple):
     rnorms: jnp.ndarray      # [npass] |r| after pass i
 
 
-@partial(jax.jit, static_argnames=("npass", "fast", "check_r0"))
+@partial(jax.jit, static_argnames=("npass", "fast", "check_r0", "mxu_dtype",
+                                   "fast_exact"))
 def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
-            npass: int, fast: bool = False, check_r0: bool = False) -> CGResult:
+            npass: int, fast: bool = False, check_r0: bool = False,
+            mxu_dtype=None, fast_exact: bool = False) -> CGResult:
     """Optimize the bond tensor by CG against A = sum_b v_b v_b^T + lambda.
 
     ``fast=True`` uses the residual update r <- r - a·Ap (single.h:290-398,
-    Shewchuk Eq. 47) instead of recomputing the gradient each pass.
+    Shewchuk Eq. 47) instead of recomputing the gradient each pass — one data pass
+    per CG iteration instead of two.  The reference's formula carries a lambda
+    drift (it subtracts lambda·B_new on top of a residual that already included
+    -lambda·B_old, single.h:377-379), which stalls convergence once residuals get
+    small; ``fast_exact=True`` uses the mathematically exact recurrence
+    r <- r - a·(Ap + lambda·p) instead.
     ``check_r0=True`` skips optimization entirely when |r0| < cconv, like the
     `single` optimizers (single.h:201-205); fixedL's cgrad has no such check.
     """
     Bsz = LE.shape[0]
-    Lphi, Rphi = _wing_products(LE, RE, xc, x1)
+    Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
     sig = jnp.exp(sigL + sigR)[:, None, None, None]          # [B,1,1,1]
     Y4 = Y.reshape(Bsz, LE.shape[1], B5.shape[4], RE.shape[1])
 
@@ -139,8 +156,11 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
             Ap = outer_grad(pv * sig, Lphi, Rphi)
 
         def tail(_):
-            if fast:
-                # exact reference formula nr = r - a*Ap - lambda*B_new (single.h:377-379)
+            if fast and fast_exact:
+                nr = c.r - alpha * (Ap + lam * c.p)
+                cost = jnp.float32(0.0)
+            elif fast:
+                # reference formula nr = r - a*Ap - lambda*B_new (single.h:377-379)
                 nr = c.r - alpha * Ap - lam * Bn
                 cost = jnp.float32(0.0)
             else:
@@ -171,8 +191,8 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam):
+@partial(jax.jit, static_argnames=("mxu_dtype",))
+def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=None):
     """Returns (C_total, per_true_label_cost [10], n_correct, reg_cost).
 
     ``labels`` [B] int32 true labels; per-label costs follow the reference: the FULL
@@ -180,7 +200,7 @@ def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam):
     Accuracy: argmax over |P| (fixedL.cc:323-327).
     """
     Bsz = LE.shape[0]
-    Lphi, Rphi = _wing_products(LE, RE, xc, x1)
+    Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
     sig = jnp.exp(sigL + sigR)[:, None, None, None]
     P = apply_bond(B5, Lphi, Rphi) * sig
     Pflat = P.reshape(Bsz, -1)
@@ -218,14 +238,25 @@ def _trunc_rank(s, cutoff, maxm, minm):
     return r, mask, truncerr
 
 
-@partial(jax.jit, static_argnames=("label_leg", "iso_left"))
-def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool):
-    """SVD B5 back into two cores with adaptive-rank truncation.
+@partial(jax.jit, static_argnames=("label_leg", "iso_left", "method"))
+def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
+               method: str = "gram"):
+    """Split B5 back into two cores with adaptive-rank truncation.
 
     ``label_leg``: 'left' | 'right' | 'none' — which output core keeps the label axis
     (fixedL keeps it on the center core, fixedL.cc:519-521 via ITensor index
     partitioning).  ``iso_left``: the isometric (U) side is the left core when sweeping
     right, the right core when sweeping left (fixedL.cc:482-483,520-521).
+
+    ``method='gram'`` (default) computes the SVD via an eigh of the small-side Gram
+    matrix — ~250x faster than ``jnp.linalg.svd`` on TPU for the [m·d, d·m·L] bond
+    matrices, with singular values accurate to ~1e-4 relative in f32 (directions that
+    far down carry negligible weight and are what truncation discards anyway).  The
+    Gram side is chosen so the ISOMETRIC factor comes out of eigh exactly orthonormal
+    whenever the isometric side is the small side; the other factor is formed as an
+    exact product (U^T M or M V), so the reconstructed W_c·W_{c+1} is always the exact
+    rank-masked projection of B5.  ``method='svd'`` is the bit-faithful LAPACK-style
+    path (reference parity, fixedL.cc:519-525).
 
     Returns (wl, wr, rank, truncerr); the new bond is zero-padded to the input pad so
     all downstream shapes stay static.
@@ -238,16 +269,49 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool):
         # 'right' and 'none' (J==1) both fold the label into the columns
         M = B5.transpose(0, 1, 2, 3, 4).reshape(a * s, t * r * J)
 
-    U, sv, Vt = jnp.linalg.svd(M, full_matrices=False)
-    rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
-    k = sv.shape[0]
-    Um = U * mask[None, :]
-    Vm = Vt * mask[:, None]
-    svm = sv * mask
-    if iso_left:
-        left_m, right_m = Um, svm[:, None] * Vm
+    rows, cols = M.shape
+    if method == "svd":
+        U, sv, Vt = jnp.linalg.svd(M, full_matrices=False)
+        rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+        Um = U * mask[None, :]
+        Vm = Vt * mask[:, None]
+        svm = sv * mask
+        if iso_left:
+            left_m, right_m = Um, svm[:, None] * Vm
+        else:
+            left_m, right_m = Um * svm[None, :], Vm
+    elif method == "gram":
+        if rows <= cols:
+            G = (M @ M.T).astype(jnp.float32)
+            lam_, U = jnp.linalg.eigh(G)                  # ascending
+            sv = jnp.sqrt(jnp.maximum(lam_[::-1], 0.0))
+            U = U[:, ::-1]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+            Um = U * mask[None, :]
+            UtM = Um.T @ M                                 # = s·Vt, exact
+            if iso_left:
+                left_m, right_m = Um, UtM
+            else:
+                sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
+                left_m = Um * (sv * mask)[None, :]
+                right_m = sinv[:, None] * UtM
+        else:
+            G = (M.T @ M).astype(jnp.float32)
+            lam_, V = jnp.linalg.eigh(G)
+            sv = jnp.sqrt(jnp.maximum(lam_[::-1], 0.0))
+            V = V[:, ::-1]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+            Vm = V * mask[None, :]
+            MV = M @ Vm                                    # = U·s, exact
+            if iso_left:
+                sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
+                left_m = MV * sinv[None, :]
+                right_m = (sv * mask)[:, None] * Vm.T
+            else:
+                left_m, right_m = MV, Vm.T
     else:
-        left_m, right_m = Um * svm[None, :], Vm
+        raise ValueError(f"split method {method!r} not recognized (gram|svd)")
+    k = sv.shape[0]
 
     # pad/trim the new bond to `pad`
     def fit_cols(Mx):

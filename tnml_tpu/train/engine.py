@@ -69,10 +69,13 @@ class SweepEngine:
                  label_mode: str = "fixed",
                  dtype=jnp.float32,
                  env_dtype=None,     # e.g. jnp.bfloat16: wing STORAGE dtype
+                 mxu_dtype=None,     # e.g. jnp.bfloat16: MXU matmul input dtype
+                                     # (accumulation always float32)
+                 svd_method: str = "gram",   # 'gram' (fast TPU path) | 'svd'
                  sharding=None):
         if X.ndim != 3 or X.shape[1] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
-        if method not in ("conj", "fast_conj", "exact", "pinv"):
+        if method not in ("conj", "fast_conj", "fast_conj_exact", "exact", "pinv"):
             raise ValueError(f'method type "{method}" not recognized')
         if method in ("exact", "pinv") and model.label_site is not None:
             # parity: fixedL supports conj only (fixedL.cc:504-505); the direct
@@ -94,6 +97,8 @@ class SweepEngine:
         self.report_cost = report_cost
         self.dtype = dtype
         self.env_dtype = env_dtype
+        self.mxu_dtype = mxu_dtype
+        self.svd_method = svd_method
         self.sharding = sharding
         if label_mode not in ("fixed", "moving"):
             raise ValueError("label_mode must be 'fixed' or 'moving'")
@@ -215,7 +220,8 @@ class SweepEngine:
             method=self.method, npass=self.npass,
             check_r0=(self.label_site is None), report=self.report_cost,
             use_noise=(self.noise >= 1e-14), ntarget=self.ntarget,
-            env_dtype=self.env_dtype)
+            env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
+            svd_method=self.svd_method)
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env[b if direction > 0 else b + 1] = (env_arr, env_sig)
         if self.label_mode == "moving":

@@ -36,12 +36,13 @@ def stats_len(npass: int) -> int:
 
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
                                    "check_r0", "report", "use_noise", "ntarget",
-                                   "env_dtype"))
+                                   "env_dtype", "mxu_dtype", "svd_method"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i, key,
                     label_leg: str, iso_left: bool, method: str, npass: int,
                     check_r0: bool, report: bool, use_noise: bool = False,
-                    ntarget: int = 10, env_dtype=None):
+                    ntarget: int = 10, env_dtype=None, mxu_dtype=None,
+                    svd_method: str = "gram"):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
@@ -60,10 +61,11 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
 
     B5 = bond_ops.make_bond(wl, wr)
     aux = jnp.float32(0.0)
-    if method in ("conj", "fast_conj"):
+    if method in ("conj", "fast_conj", "fast_conj_exact"):
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
-                              npass=npass, fast=(method == "fast_conj"),
-                              check_r0=check_r0)
+                              npass=npass, fast=method.startswith("fast"),
+                              check_r0=check_r0, mxu_dtype=mxu_dtype,
+                              fast_exact=(method == "fast_conj_exact"))
     elif method == "exact":
         Bex = solvers.exact_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0], lam, pcut)
         cg = bond_ops.CGResult(Bex, jnp.int32(0), jnp.float32(0.0),
@@ -90,12 +92,13 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
             cg.B5, env, env_s, cutoff, maxm, minm, noise, iso_left=iso_left)
     else:
         nwl, nwr, rank, truncerr = bond_ops.split_bond(
-            cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left)
+            cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left,
+            method=svd_method)
 
     if report:
         newB = bond_ops.make_bond(nwl, nwr)
         cost, per_label, ncor, reg = bond_ops.quadcost(
-            newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam)
+            newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
     else:
         cost = jnp.float32(jnp.nan)
         per_label = jnp.zeros((10,), jnp.float32)
