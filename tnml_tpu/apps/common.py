@@ -47,8 +47,23 @@ def load_features(cfg: Config, split: str, feature: str,
     datadir = cfg.get_string("datadir", DEFAULT_DATADIR)
     if nt is None:
         nt = cfg.get_int("Ntrain", 60000)
+    rescale = rescale_from(cfg)
+
+    # native fast path: fused IDX -> features in one pass (native/tnml_native.cc)
+    if cfg.get_yesno("native_loader", True):
+        from tnml_tpu.data.mnist import _FILES, _find
+        from tnml_tpu.io import native
+        img_name, lbl_name = _FILES[split]
+        img = _find(datadir, img_name) if datadir else None
+        lbl = _find(datadir, lbl_name) if datadir else None
+        if (img and lbl and not img.endswith(".gz") and not lbl.endswith(".gz")
+                and feature in ("normal", "series") and native.available()):
+            X, labels = native.load_features(img, lbl, nt, feature, d, rescale)
+            print(f"[tnml] {split}: {X.shape[0]} images (native IDX loader)")
+            return X, labels
+
     ds = read_mnist(datadir, split, nt=nt)
-    X = featurize(ds.images, feature=feature, d=d, rescale=rescale_from(cfg))
+    X = featurize(ds.images, feature=feature, d=d, rescale=rescale)
     return X, ds.labels
 
 
