@@ -1,0 +1,75 @@
+"""Scan-fused half-sweeps vs the per-bond engine (must be numerically equivalent)."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax.numpy as jnp
+
+from tnml_tpu.mps.pack import pack, unpack
+from tnml_tpu.mps.ops import evaluate_mps
+from tnml_tpu.train.engine import SweepEngine
+from tnml_tpu.train.schedule import Sweeps
+
+from tests.test_engine import make_problem
+
+
+def test_fused_matches_perbond_moving():
+    W, X, labels = make_problem(n=8, batch=12, label_site=4, seed=2)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    W.move_label(0, cutoff=1e-14)
+    pad = max(24, W.max_bond())
+
+    eng_a = SweepEngine(pack(W, pad=pad), X, labels, lam=1e-4, npass=3,
+                        label_mode="moving")
+    eng_a.init_envs()
+    ha = eng_a.run(Sweeps.constant(2, 2, 12, 1e-10), verbose=False)
+
+    eng_b = SweepEngine(pack(W, pad=pad), X, labels, lam=1e-4, npass=3,
+                        label_mode="moving")
+    hb = eng_b.run_fused(Sweeps.constant(2, 2, 12, 1e-10), verbose=False)
+
+    assert len(ha) == len(hb)
+    # same per-bond cost trajectory
+    ca = np.array([s.cost for s in ha])
+    cb = np.array([s.cost for s in hb])
+    np.testing.assert_allclose(ca, cb, rtol=2e-2, atol=1e-4)
+    # same bond visit order encoded in stats
+    assert [(s.b, s.direction) for s in ha] == [(s.b, s.direction) for s in hb]
+    # same trained model outputs
+    Wa, Wb = unpack(eng_a.packed()), unpack(eng_b.packed())
+    for i in range(4):
+        np.testing.assert_allclose(evaluate_mps(Wa, X[i]), evaluate_mps(Wb, X[i]),
+                                   rtol=5e-2, atol=1e-3)
+
+
+def test_fused_single_model():
+    W, X, labels = make_problem(n=7, batch=16, label_site=None, seed=5)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    X[labels == 3, 0] = [0.9, np.sqrt(1 - 0.81)]
+    eng = SweepEngine(pack(W, pad=12), X, labels, lam=1e-3, npass=4,
+                      target_label=3, method="fast_conj_exact")
+    h = eng.run_fused(Sweeps.constant(3, 2, 12, 1e-9), verbose=False)
+    assert h[-1].cost < 0.5 * h[0].cost
+    W2 = unpack(eng.packed())
+    outs = np.array([float(evaluate_mps(W2, X[i])) for i in range(16)])
+    tgt = labels == 3
+    assert np.abs(outs[tgt] - 1.0).mean() < 0.4
+    assert np.abs(outs[~tgt]).mean() < 0.4
+
+
+def test_fused_rejects_fixed_mode():
+    W, X, labels = make_problem(n=6, batch=4, label_site=3)
+    eng = SweepEngine(pack(W, pad=8), X, labels)
+    with pytest.raises(ValueError, match="fused"):
+        eng.run_fused(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
+
+
+def test_fused_ranks_tracked():
+    W, X, labels = make_problem(n=8, batch=10, label_site=4, seed=7)
+    W.move_label(0, cutoff=1e-14)
+    pad = max(24, W.max_bond())
+    eng = SweepEngine(pack(W, pad=pad), X, labels, label_mode="moving")
+    eng.run_fused(Sweeps.constant(1, 2, 6, 1e-10), verbose=False)
+    assert eng.ranks.max() <= 6 + 0  # maxm honored
+    assert eng.ranks[0] == 1 and eng.ranks[-1] == 1

@@ -171,11 +171,20 @@ class FixedLModel:
             if ctl.get("stop"):
                 stop[0] = True
 
+        # moving-label CG training uses the scan-fused engine (two device calls
+        # per sweep); control files are then polled per sweep instead of per bond
+        fused = (cfg.label_mode == "moving"
+                 and cfg.method in ("conj", "fast_conj", "fast_conj_exact"))
         for sw in range(cfg.nsweep):
             maxm_sw = min(cfg.maxm, eng.pad)
             sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw), maxm_sw,
                                       cfg.cutoff)
-            history += eng.run(sweeps1, per_bond_hook=control_hook, verbose=verbose)
+            if fused:
+                history += eng.run_fused(sweeps1, verbose=verbose)
+                control_hook(0, +1)
+            else:
+                history += eng.run(sweeps1, per_bond_hook=control_hook,
+                                   verbose=verbose)
             self.w = unpack(eng.packed())
             if workdir is not None:
                 ckpt.save_mps(os.path.join(workdir, "W"), self.w)

@@ -304,6 +304,125 @@ class SweepEngine:
             cg_rnorms=vec[step_ops.S_CG + npass:step_ops.S_CG + 2 * npass].copy(),
         )
 
+    # -- scan-fused sweeps (moving-label / single families) -----------------------
+
+    def _fused_supported(self) -> bool:
+        return self.label_mode == "moving" or self.label_site is None
+
+    def _fused_init(self):
+        """Set up the stacked ping-pong state for run_fused."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment as seg_ops
+
+        n = self.n
+        if self.label_site is None:
+            carry = self.cores[0][..., None]          # J = 1
+        else:
+            if self.label_site != 0:
+                raise ValueError("fused sweeps need the label on core 0")
+            carry = self.cores[0]
+        next_cores = jnp.stack([self.cores[j] for j in range(1, n)])
+        # initial right envs at sites 2..N-1 (bond order), then the edge row
+        prev = self._edge_env()
+        rows, sigs = [], []
+        for j in range(n - 1, 1, -1):
+            prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],
+                              fromleft=False, out_dtype=self.env_dtype)
+            rows.append(prev[0])
+            sigs.append(prev[1])
+        edge = self._edge_env()
+        opp = jnp.stack(rows[::-1] + [edge[0]])
+        opp_sig = jnp.stack(sigs[::-1] + [edge[1]])
+        xs = jnp.stack(self.Xsites)
+        self._fs = {
+            "carry": carry, "next_cores": next_cores,
+            "opp": opp, "opp_sig": opp_sig,
+            "xa_f": xs[:-1], "xn_f": xs[1:],
+            "xa_b": xs[1:][::-1], "xn_b": xs[:-1][::-1],
+            "edge": edge,
+        }
+
+    def run_fused(self, sweeps: Sweeps, verbose: bool = True) -> List[BondStats]:
+        """Full sweeps, two scan calls per sweep (segment.half_sweep)."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment as seg_ops
+
+        if not self._fused_supported():
+            raise ValueError("fused sweeps support moving-label/single models; "
+                             "use run() for the fixed-label mode")
+        if self.noise >= 1e-14 or self.method in ("exact", "pinv"):
+            raise ValueError("fused sweeps support the CG methods without noise")
+        if not hasattr(self, "_fs"):
+            self._fused_init()
+        fs = self._fs
+        n = self.n
+        history: List[BondStats] = []
+        common = dict(method=self.method, npass=self.npass,
+                      check_r0=(self.label_site is None),
+                      report=self.report_cost, env_dtype=self.env_dtype,
+                      mxu_dtype=self.mxu_dtype, svd_method=self.svd_method)
+        for sw in range(sweeps.nsweep):
+            maxm = int(sweeps.maxm[sw])
+            minm = int(sweeps.minm[sw])
+            cutoff = float(sweeps.cutoff[sw])
+            if maxm > self.pad:
+                raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
+            self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            t0 = time.perf_counter()
+            fwd = seg_ops.half_sweep(fs["carry"], fs["next_cores"], fs["opp"],
+                                     fs["opp_sig"], fs["xa_f"], fs["xn_f"],
+                                     self.Y, self.labels, self._hyp_f,
+                                     self._hyp_i, forward=True, **common)
+            edge = fs["edge"]
+            b_opp = jnp.concatenate([fwd.env_arr[n - 3::-1], edge[0][None]])
+            b_sig = jnp.concatenate([fwd.env_sig[n - 3::-1], edge[1][None]])
+            bwd = seg_ops.half_sweep(fwd.carry_core, fwd.cores[::-1], b_opp,
+                                     b_sig, fs["xa_b"], fs["xn_b"],
+                                     self.Y, self.labels, self._hyp_f,
+                                     self._hyp_i, forward=False, **common)
+            fs["carry"] = bwd.carry_core
+            fs["next_cores"] = bwd.cores[::-1]
+            fs["opp"] = jnp.concatenate([bwd.env_arr[::-1][1:], edge[0][None]])
+            fs["opp_sig"] = jnp.concatenate([bwd.env_sig[::-1][1:], edge[1][None]])
+
+            stats = np.asarray(jnp.concatenate([fwd.stats, bwd.stats]))
+            dt = time.perf_counter() - t0
+            for t in range(stats.shape[0]):
+                fwd_leg = t < n - 1
+                b = t if fwd_leg else (n - 2) - (t - (n - 1))
+                st = self._unpack_stats(sw + 1, b, +1 if fwd_leg else -1,
+                                        int(self.ranks[b + 1]), stats[t])
+                self.ranks[b + 1] = st.newm
+                history.append(st)
+            if verbose:
+                last = history[-1]
+                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                       f"(fused, {stats.shape[0]} bonds, "
+                       f"{dt / stats.shape[0] * 1e3:.1f} ms/bond), "
+                       f"max m = {int(self.ranks.max())}")
+                if self.report_cost:
+                    msg += f", cost/NT {last.cost / self.nt:.10f}"
+                    if self.label_site is not None:
+                        msg += f", correct {last.ncorrect}/{self.nt}"
+                print(msg)
+        self._fused_writeback()
+        return history
+
+    def _fused_writeback(self) -> None:
+        """Sync the stacked fused state back into self.cores (label at core 0)."""
+        import jax.numpy as jnp
+
+        fs = self._fs
+        carry = np.asarray(fs["carry"])
+        if self.label_site is None:
+            self.cores[0] = carry[..., 0]
+        else:
+            self.cores[0] = carry
+            self.label_site = 0
+        nxt = np.asarray(fs["next_cores"])   # one bulk fetch, then host slices
+        for j in range(1, self.n):
+            self.cores[j] = nxt[j - 1]
+
     # -- extraction ---------------------------------------------------------------
 
     def packed(self) -> PackedMPS:
