@@ -65,6 +65,25 @@ def test_fused_rejects_fixed_mode():
         eng.run_fused(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
 
 
+def test_fused_sharded_matches_unsharded():
+    import jax
+    from tnml_tpu.parallel.mesh import DataParallel, make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    W, X, labels = make_problem(n=8, batch=16, label_site=4, seed=2)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    W.move_label(0, cutoff=1e-14)
+    pad = max(24, W.max_bond())
+    e1 = SweepEngine(pack(W, pad=pad), X, labels, lam=1e-4, npass=3,
+                     label_mode="moving")
+    h1 = e1.run_fused(Sweeps.constant(2, 2, 12, 1e-10), verbose=False)
+    dp = DataParallel(make_mesh(4))
+    e2 = SweepEngine(pack(W, pad=pad), X, labels, lam=1e-4, npass=3,
+                     label_mode="moving", sharding=dp)
+    h2 = e2.run_fused(Sweeps.constant(2, 2, 12, 1e-10), verbose=False)
+    assert h1[-1].cost == pytest.approx(h2[-1].cost, rel=1e-3)
+
+
 def test_fused_ranks_tracked():
     W, X, labels = make_problem(n=8, batch=10, label_site=4, seed=7)
     W.move_label(0, cutoff=1e-14)

@@ -57,8 +57,24 @@ def main(argv=None) -> int:
         from tnml_tpu.parallel.mesh import DataParallel, make_mesh
         sharding = DataParallel(make_mesh(ndp))
 
+    # Nbatch > 1 is the reference's out-of-core memory knob (README.md:77);
+    # the TPU analog demotes cold wings to host RAM ('host') or the native
+    # file spool ('spool').
+    offload = cfg.get_string("offload",
+                             "host" if cfg.get_int("Nbatch", 1) > 1 else "none")
+    if offload not in ("none", "host", "spool"):
+        raise SystemExit(f"offload={offload!r} not recognized (none|host|spool)")
+    env_store = None
+    if offload != "none":
+        from tnml_tpu.train.envstore import OffloadEnvStore
+        env_store = OffloadEnvStore(
+            keep=3, spool_dir=".tnml_spool" if offload == "spool" else None)
+        fl_env_note = f"[tnml] wing offload: {offload}"
+        print(fl_env_note)
+
     model = FixedLModel.initialize(X, labels, fl, workdir=".")
-    model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=True)
+    model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=True,
+                env_store=env_store)
     print("Writing W to disk")
     model.save("W")
     return 0

@@ -130,7 +130,8 @@ class FixedLModel:
     # -- training --------------------------------------------------------------
 
     def make_engine(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
-                    sharding=None, pad: Optional[int] = None) -> SweepEngine:
+                    sharding=None, pad: Optional[int] = None,
+                    env_store=None) -> SweepEngine:
         if cfg.label_mode == "moving" and self.w.label_site not in (0, 1):
             # transporting the label grows bonds by up to d per site; cap at maxm
             self.w.move_label(0, cutoff=1e-12, maxm=cfg.maxm)
@@ -142,13 +143,15 @@ class FixedLModel:
         return SweepEngine(pack(self.w, pad), X, labels,
                            lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
-                           label_mode=cfg.label_mode, sharding=sharding)
+                           label_mode=cfg.label_mode, env_store=env_store,
+                           sharding=sharding)
 
     def train(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
               workdir: Optional[str] = ".", sharding=None, verbose: bool = True,
-              per_sweep_hook=None):
+              per_sweep_hook=None, env_store=None):
         """Full mldmrg run with per-sweep checkpointing and control-file polling."""
-        eng = self.make_engine(X, labels, cfg, sharding=sharding)
+        eng = self.make_engine(X, labels, cfg, sharding=sharding,
+                               env_store=env_store)
         eng.init_envs()
         if verbose:
             cost, _, ncor, _ = eng.quadcost(0)

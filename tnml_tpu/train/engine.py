@@ -30,6 +30,7 @@ from tnml_tpu.mps.pack import PackedMPS
 from tnml_tpu.train import bond as bond_ops
 from tnml_tpu.train import step as step_ops
 from tnml_tpu.train.env import edge_env, env_extend
+from tnml_tpu.train.envstore import DeviceEnvStore
 from tnml_tpu.train.schedule import Sweeps, sweep_bonds
 
 
@@ -72,6 +73,7 @@ class SweepEngine:
                  mxu_dtype=None,     # e.g. jnp.bfloat16: MXU matmul input dtype
                                      # (accumulation always float32)
                  svd_method: str = "gram",   # 'gram' (fast TPU path) | 'svd'
+                 env_store=None,     # DeviceEnvStore (default) or OffloadEnvStore
                  sharding=None):
         if X.ndim != 3 or X.shape[1] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
@@ -130,7 +132,7 @@ class SweepEngine:
 
         self.cores: List[jnp.ndarray] = list(model.cores)
         self.ranks = np.asarray(model.ranks).copy()
-        self.env: Dict[int, tuple] = {}
+        self.env = env_store if env_store is not None else DeviceEnvStore()
         self._edge = None
         self._hyp_f = None   # [lambda, cconv, cutoff] device array
         self._hyp_i = None   # [maxm, minm]
@@ -150,10 +152,10 @@ class SweepEngine:
         return self._edge
 
     def _le(self, b: int):
-        return self.env[b - 1] if b >= 1 else self._edge_env()
+        return self.env.get(b - 1) if b >= 1 else self._edge_env()
 
     def _re(self, b: int):
-        return self.env[b + 2] if b + 2 <= self.n - 1 else self._edge_env()
+        return self.env.get(b + 2) if b + 2 <= self.n - 1 else self._edge_env()
 
     def set_hyper(self, cutoff: float, maxm: int, minm: int,
                   noise: float = 0.0) -> None:
@@ -181,7 +183,7 @@ class SweepEngine:
         for j in range(self.n - 1, 1, -1):
             prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],
                               fromleft=False, out_dtype=self.env_dtype)
-            self.env[j] = prev
+            self.env.put(j, prev)
 
     # -- per-bond step ---------------------------------------------------------
 
@@ -223,7 +225,7 @@ class SweepEngine:
             env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method)
         self.cores[b], self.cores[b + 1] = wl, wr
-        self.env[b if direction > 0 else b + 1] = (env_arr, env_sig)
+        self.env.put(b if direction > 0 else b + 1, (env_arr, env_sig))
         if self.label_mode == "moving":
             self.label_site = b + 1 if direction > 0 else b
         return stats
@@ -245,7 +247,7 @@ class SweepEngine:
             per_bond_hook: Optional[Callable[[int, int], None]] = None,
             verbose: bool = True) -> List[BondStats]:
         """All sweeps over all bonds (mldmrg, fixedL.cc:451-570)."""
-        if not self.env:
+        if not len(self.env):
             self.init_envs()
         history: List[BondStats] = []
         for sw in range(sweeps.nsweep):
