@@ -1,0 +1,80 @@
+"""Pallas kernels vs jnp references (interpret mode — runs on CPU)."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax.numpy as jnp
+
+from tnml_tpu.ops import pallas_kernels as pk
+
+rng = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("feature", ["normal", "series"])
+@pytest.mark.parametrize("rescale", [1.0, 1 / 255])
+def test_phi_featurize_matches_reference(feature, rescale):
+    px = rng.integers(0, 256, size=(13, 37)).astype(np.uint8)
+    out = pk.phi_featurize(jnp.asarray(px), feature, 2, rescale, interpret=True)
+    ref = pk.phi_featurize_reference(px, feature, 2, rescale)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-7)
+    assert out.shape == (13, 37, 2)
+
+
+def test_phi_featurize_matches_host_phi():
+    """Device featurize == host featurize on readMNIST-normalized pixels."""
+    from tnml_tpu.ops.feature import featurize
+
+    px = rng.integers(0, 256, size=(9, 21)).astype(np.uint8)   # [N, B]
+    dev = np.asarray(pk.phi_featurize(jnp.asarray(px), "normal", 2, 1.0,
+                                      interpret=True))          # [N, B, 2]
+    host = featurize(px.T / 255.0, "normal", d=2, rescale=1.0)  # [B, N, 2]
+    np.testing.assert_allclose(dev, np.transpose(host, (1, 0, 2)), atol=2e-7)
+
+
+def test_cg_pass_matches_reference():
+    B, AS, TR, L = 300, 16, 16, 10
+    Lphi = jnp.asarray(rng.normal(size=(B, AS)), jnp.float32)
+    Rphi = jnp.asarray(rng.normal(size=(B, TR)), jnp.float32)
+    Bmat = jnp.asarray(rng.normal(size=(AS, L * TR)), jnp.float32)
+    sig2 = jnp.asarray(rng.uniform(0.5, 2.0, size=B), jnp.float32)
+    pv, ap, pap = pk.cg_pass(Lphi, Rphi, Bmat, sig2, n_labels=L, tb=128,
+                             interpret=True)
+    pv2, ap2, pap2 = pk.cg_pass_reference(Lphi, Rphi, Bmat, sig2, n_labels=L)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pv2), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap2),
+                               rtol=1e-5, atol=1e-4 * float(jnp.abs(ap2).max()))
+    assert float(pap) == pytest.approx(float(pap2), rel=1e-5)
+
+
+def test_cg_pass_unaligned_batch():
+    """Batch padding: B not a multiple of the tile."""
+    B, AS, TR, L = 77, 8, 8, 2
+    Lphi = jnp.asarray(rng.normal(size=(B, AS)), jnp.float32)
+    Rphi = jnp.asarray(rng.normal(size=(B, TR)), jnp.float32)
+    Bmat = jnp.asarray(rng.normal(size=(AS, L * TR)), jnp.float32)
+    sig2 = jnp.asarray(rng.uniform(0.5, 2.0, size=B), jnp.float32)
+    pv, ap, pap = pk.cg_pass(Lphi, Rphi, Bmat, sig2, n_labels=L, tb=64,
+                             interpret=True)
+    pv2, ap2, pap2 = pk.cg_pass_reference(Lphi, Rphi, Bmat, sig2, n_labels=L)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap2),
+                               rtol=1e-5, atol=1e-4 * float(jnp.abs(ap2).max()))
+    assert pv.shape == (B, L)
+
+
+def test_engine_accepts_site_major_device_features():
+    """The phi-kernel path: engine consumes [N, B, d] device features directly."""
+    from tests.test_engine import make_problem
+    from tnml_tpu.mps.pack import pack
+    from tnml_tpu.train.engine import SweepEngine
+    from tnml_tpu.train.schedule import Sweeps
+
+    W, X, labels = make_problem(n=6, batch=8, label_site=3, seed=1)
+    a = SweepEngine(pack(W, pad=8), X, labels, lam=1e-3)
+    a.init_envs()
+    Xs = jnp.asarray(np.transpose(X, (1, 0, 2)))
+    b = SweepEngine(pack(W, pad=8), Xs, labels, lam=1e-3, x_site_major=True)
+    b.init_envs()
+    ca = float(a.quadcost(0)[0])
+    cb = float(b.quadcost(0)[0])
+    assert ca == pytest.approx(cb, rel=1e-6)

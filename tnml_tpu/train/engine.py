@@ -74,8 +74,10 @@ class SweepEngine:
                                      # (accumulation always float32)
                  svd_method: str = "gram",   # 'gram' (fast TPU path) | 'svd'
                  env_store=None,     # DeviceEnvStore (default) or OffloadEnvStore
+                 x_site_major: bool = False,   # X already [N, B, d] on device
                  sharding=None):
-        if X.ndim != 3 or X.shape[1] != model.n:
+        n_axis = 0 if x_site_major else 1
+        if X.ndim != 3 or X.shape[n_axis] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
         if method not in ("conj", "fast_conj", "fast_conj_exact", "exact", "pinv"):
             raise ValueError(f'method type "{method}" not recognized')
@@ -85,7 +87,7 @@ class SweepEngine:
             raise ValueError(f"method {method!r} requires the label-free model")
         self.model = model
         self.n = model.n
-        self.nt = int(X.shape[0])
+        self.nt = int(X.shape[1 if x_site_major else 0])
         self.pad = model.pad
         self.label_site = model.label_site
         self.lam = float(lam)
@@ -114,7 +116,11 @@ class SweepEngine:
 
         # site-major features, split once into per-site device arrays so the bond
         # loop never does an eager slice
-        xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))), dtype=dtype)
+        if x_site_major:
+            xs = jnp.asarray(X, dtype=dtype)   # device featurize path (phi kernel)
+        else:
+            xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))),
+                             dtype=dtype)
         xs = self._shard(xs, batch_axis=1)
         self.Xsites = step_ops.split_sites(xs, self.n)
         self.labels = self._shard(jnp.asarray(labels, dtype=jnp.int32), batch_axis=0)
