@@ -48,9 +48,10 @@ def load_features(cfg: Config, split: str, feature: str,
     if nt is None:
         nt = cfg.get_int("Ntrain", 60000)
     rescale = rescale_from(cfg)
+    imglen = cfg.get_int("imglen", 0)   # 0 = native size; else resize (image.h parity)
 
     # native fast path: fused IDX -> features in one pass (native/tnml_native.cc)
-    if cfg.get_yesno("native_loader", True):
+    if imglen == 0 and cfg.get_yesno("native_loader", True):
         from tnml_tpu.data.mnist import _FILES, _find
         from tnml_tpu.io import native
         img_name, lbl_name = _FILES[split]
@@ -63,7 +64,13 @@ def load_features(cfg: Config, split: str, feature: str,
             return X, labels
 
     ds = read_mnist(datadir, split, nt=nt)
-    X = featurize(ds.images, feature=feature, d=d, rescale=rescale)
+    images = ds.images
+    if imglen and imglen != ds.height:
+        from tnml_tpu.data.image import resize
+        sq = images.reshape(-1, ds.height, ds.width)
+        images = np.stack([resize(im, imglen) for im in sq])
+        images = images.reshape(images.shape[0], imglen * imglen)
+    X = featurize(images, feature=feature, d=d, rescale=rescale)
     return X, ds.labels
 
 
