@@ -72,8 +72,11 @@ def main(argv=None) -> int:
         fl_env_note = f"[tnml] wing offload: {offload}"
         print(fl_env_note)
 
+    # log = sweep (default) | bond: 'bond' replays the reference's full per-bond
+    # report (fixedL.cc:490-533) from the bulk-fetched stats
+    verbose = "bond" if cfg.get_string("log", "sweep") == "bond" else True
     model = FixedLModel.initialize(X, labels, fl, workdir=".")
-    model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=True,
+    model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=verbose,
                 env_store=env_store)
     print("Writing W to disk")
     model.save("W")

@@ -248,11 +248,36 @@ class SweepEngine:
 
     # -- full training loop ------------------------------------------------------
 
+    def print_bond_report(self, st: BondStats) -> None:
+        """Reference-style per-bond report (fixedL.cc:490,510,523-533)."""
+        ha = 1 if st.direction > 0 else 2
+        c = st.b if st.direction > 0 else st.b + 1
+        print(f"Sweep {st.sweep} Half {ha} Bond {c + 1}")
+        for i in range(st.cg_passes):
+            print(f"  Conj grad pass {i + 1}")
+            if st.cg_rnorms[i] > 0:
+                print(f"  |r| = {st.cg_rnorms[i]:.1E}")
+        print(f"SVD trunc err = {st.truncerr:.2E}")
+        print(f"Original m={st.origm}, New m={st.newm}")
+        if self.report_cost:
+            if self.label_site is not None:
+                for l in range(10):
+                    print(f"  Label l={l} C{l} = {st.per_label_cost[l] / self.nt:.10f}")
+                print(f"  Reg. cost CR = {st.reg / self.nt:.10f}")
+                ncor = st.ncorrect
+                print(f"Percent correct = {ncor * 100.0 / self.nt:.4f}%, "
+                      f"# incorrect = {self.nt - ncor}/{self.nt}")
+            print(f"--> After SVD, Cost = {st.cost / self.nt:.10f}")
+
     def run(self, sweeps: Sweeps,
             callback: Optional[Callable[[BondStats], None]] = None,
             per_bond_hook: Optional[Callable[[int, int], None]] = None,
-            verbose: bool = True) -> List[BondStats]:
-        """All sweeps over all bonds (mldmrg, fixedL.cc:451-570)."""
+            verbose=True) -> List[BondStats]:
+        """All sweeps over all bonds (mldmrg, fixedL.cc:451-570).
+
+        ``verbose='bond'`` replays the reference's full per-bond report after each
+        sweep's bulk stats fetch (the numbers are identical; only the moment they
+        print differs from the reference's streaming output)."""
         if not len(self.env):
             self.init_envs()
         history: List[BondStats] = []
@@ -280,6 +305,8 @@ class SweepEngine:
                 st = self._unpack_stats(swi, b, direction, origm, vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
+                if verbose == "bond":
+                    self.print_bond_report(st)
                 if callback is not None:
                     callback(st)
             if verbose:
