@@ -316,3 +316,26 @@ def test_sharded_training_matches_unsharded():
     ca = np.asarray(unpack(eng_a.packed()).cores[3])
     cb = np.asarray(unpack(eng_b.packed()).cores[3])
     np.testing.assert_allclose(ca, cb, rtol=2e-2, atol=2e-4)
+
+
+def test_replace_reverts_bad_truncations():
+    """The reference's 'replace' feature (README.md:76): aggressive truncation
+    triggers reverts; replaced bonds keep their original rank."""
+    W, X, labels = make_problem(n=8, batch=16, label_site=4, seed=2)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    eng = SweepEngine(pack(W, pad=8), X, labels, lam=1e-4, npass=3, replace=True)
+    eng.init_envs()
+    h = eng.run(Sweeps.constant(2, 1, 2, 1e-1), verbose=False)
+    nrep = sum(s.replaced for s in h)
+    assert nrep > 0
+    for s in h:
+        if s.replaced:
+            assert s.newm == s.origm
+    # moving mode rejects replace (label changes cores)
+    Wm, Xm, lm = make_problem(n=6, batch=6, label_site=3, seed=1)
+    Wm.move_label(0, cutoff=1e-14)
+    em = SweepEngine(pack(Wm, pad=max(24, Wm.max_bond())), Xm, lm, replace=True,
+                     label_mode="moving")
+    em.init_envs()
+    with pytest.raises(ValueError, match="fixed-label"):
+        em.bond_step(1, 0, +1, maxm=8, minm=1, cutoff=1e-10)

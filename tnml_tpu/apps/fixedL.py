@@ -42,6 +42,7 @@ def main(argv=None) -> int:
         report_cost=cfg.get_yesno("report_cost", True),
         pad=cfg.get_int("pad", 0) or None,
         label_mode=cfg.get_string("label_mode", "fixed"),
+        replace=cfg.get_yesno("replace", False),
     )
 
     feature = cfg.get_string("feature", "series")

@@ -87,6 +87,7 @@ class FixedLConfig:
     cconv: float = 1e-10
     method: str = "conj"
     ninitial: int = 100
+    replace: bool = False      # reference's experimental revert-on-worse (README.md:76)
     report_cost: bool = True
     pad: Optional[int] = None         # padded bond dim; default grows on demand
     label_mode: str = "fixed"         # 'fixed' (reference) | 'moving' (paper; all
@@ -143,6 +144,7 @@ class FixedLModel:
         return SweepEngine(pack(self.w, pad), X, labels,
                            lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
+                           replace=cfg.replace,
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
 

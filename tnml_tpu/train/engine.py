@@ -46,6 +46,7 @@ class BondStats:
     ncorrect: int
     reg: float
     aux: float             # method-specific (pinv: cost of the sketched solution)
+    replaced: bool         # the 'replace' feature reverted this bond
     per_label_cost: np.ndarray
     cg_passes: int
     cg_r0: float
@@ -65,6 +66,7 @@ class SweepEngine:
                  method: str = "conj",
                  pcut: float = 1e-8,
                  ntarget: int = 10,
+                 replace: bool = False,
                  target_label: Optional[int] = None,   # single-model mode
                  report_cost: bool = True,
                  label_mode: str = "fixed",
@@ -96,6 +98,7 @@ class SweepEngine:
         self.method = method
         self.pcut = float(pcut)
         self.ntarget = int(ntarget)
+        self.replace = bool(replace)
         self.noise = 0.0
         self._key_counter = 0
         self.report_cost = report_cost
@@ -229,7 +232,7 @@ class SweepEngine:
             check_r0=(self.label_site is None), report=self.report_cost,
             use_noise=(self.noise >= 1e-14), ntarget=self.ntarget,
             env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
-            svd_method=self.svd_method)
+            svd_method=self.svd_method, replace=self.replace)
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env.put(b if direction > 0 else b + 1, (env_arr, env_sig))
         if self.label_mode == "moving":
@@ -324,14 +327,16 @@ class SweepEngine:
 
     def _unpack_stats(self, sweep, b, direction, origm, vec) -> BondStats:
         npass = self.npass
+        replaced = bool(vec[step_ops.S_REPLACED] > 0.5)
         return BondStats(
             sweep=sweep, b=b, direction=direction, origm=origm,
-            newm=int(vec[step_ops.S_RANK]),
+            newm=origm if replaced else int(vec[step_ops.S_RANK]),
             truncerr=float(vec[step_ops.S_TRUNCERR]),
             cost=float(vec[step_ops.S_COST]),
             ncorrect=int(vec[step_ops.S_NCOR]),
             reg=float(vec[step_ops.S_REG]),
             aux=float(vec[step_ops.S_AUX]),
+            replaced=replaced,
             per_label_cost=vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10].copy(),
             cg_passes=int(vec[step_ops.S_PASSES]),
             cg_r0=float(vec[step_ops.S_R0]),

@@ -25,9 +25,10 @@ from jax import lax
 from tnml_tpu.train import bond as bond_ops
 
 # stats vector layout
-S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES, S_AUX = range(8)
-S_PER_LABEL = 8           # 10 entries
-S_CG = 18                 # npass cost entries, then npass |r| entries
+(S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES, S_AUX,
+ S_REPLACED) = range(9)
+S_PER_LABEL = 9           # 10 entries
+S_CG = 19                 # npass cost entries, then npass |r| entries
 
 
 def stats_len(npass: int) -> int:
@@ -36,13 +37,14 @@ def stats_len(npass: int) -> int:
 
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
                                    "check_r0", "report", "use_noise", "ntarget",
-                                   "env_dtype", "mxu_dtype", "svd_method"))
+                                   "env_dtype", "mxu_dtype", "svd_method",
+                                   "replace"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i, key,
                     label_leg: str, iso_left: bool, method: str, npass: int,
                     check_r0: bool, report: bool, use_noise: bool = False,
                     ntarget: int = 10, env_dtype=None, mxu_dtype=None,
-                    svd_method: str = "gram"):
+                    svd_method: str = "gram", replace: bool = False):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
@@ -95,7 +97,8 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
             cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left,
             method=svd_method)
 
-    if report:
+    replaced = jnp.bool_(False)
+    if replace or report:
         newB = bond_ops.make_bond(nwl, nwr)
         cost, per_label, ncor, reg = bond_ops.quadcost(
             newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
@@ -103,6 +106,21 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         cost = jnp.float32(jnp.nan)
         per_label = jnp.zeros((10,), jnp.float32)
         ncor, reg = jnp.int32(-1), jnp.float32(0.0)
+
+    if replace:
+        # the reference's experimental 'replace' feature, realized (README.md:76;
+        # dead code at fixedL.cc:512-514): revert the bond when the post-SVD cost
+        # exceeds the pre-optimization cost.  Only meaningful when the label does
+        # not move between the cores (fixed-label / single), where old and new
+        # cores have identical shapes.
+        if wl.shape != nwl.shape or wr.shape != nwr.shape:
+            raise ValueError("replace=yes requires the fixed-label layout")
+        oldC, _, _, _ = bond_ops.quadcost(B5, LE, lsc, RE, rsc, xc, x1, Y,
+                                          labels, lam, mxu_dtype=mxu_dtype)
+        replaced = cost > oldC
+        nwl = jnp.where(replaced, wl, nwl)
+        nwr = jnp.where(replaced, wr, nwr)
+        cost = jnp.where(replaced, oldC, cost)
 
     # environment shift over the freshly isometric core
     from tnml_tpu.train.env import env_extend
@@ -115,6 +133,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
 
     stats = jnp.zeros((stats_len(npass),), jnp.float32)
     stats = stats.at[S_AUX].set(aux)
+    stats = stats.at[S_REPLACED].set(replaced.astype(jnp.float32))
     stats = stats.at[S_RANK].set(rank.astype(jnp.float32))
     stats = stats.at[S_TRUNCERR].set(truncerr)
     stats = stats.at[S_COST].set(cost)
