@@ -65,11 +65,12 @@ def test_env_extend_log_scale():
     """Renormalization + log-scale reproduces raw values."""
     B, pad, d = 4, 6, 2
     core = jnp.asarray(rng.normal(size=(pad, d, pad)) * 3.0, jnp.float32)
-    x = jnp.asarray(rng.uniform(size=(B, d)), jnp.float32)
+    x = jnp.asarray(rng.uniform(size=(d, B)), jnp.float32)   # [d, B] storage layout
     e, sig = edge_env(B, pad)
     out, sig2 = env_extend(e, sig, x, core, fromleft=True)
-    raw = np.einsum("bka,bd,adr->bkr", np.asarray(e), np.asarray(x), np.asarray(core))
-    np.testing.assert_allclose(np.asarray(out) * np.exp(np.asarray(sig2))[:, None, None],
+    # squeezed [B, m] storage form in, squeezed out
+    raw = np.einsum("ba,bd,adr->br", np.asarray(e), np.asarray(x).T, np.asarray(core))
+    np.testing.assert_allclose(np.asarray(out) * np.exp(np.asarray(sig2))[:, None],
                                raw, rtol=1e-5)
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-6
 
@@ -116,8 +117,13 @@ def test_cg_converges_to_dense_solution():
     # dense v vectors: P[b, l] = sum_x V[b, l, x] · B[x] with x = (a,s,t,r,j)
     # (label in the right wing at bond 0: K_r = 10, J = 1)
     le0, re0 = eng2._le(0), eng2._re(0)
-    Lphi = np.asarray(le0[0])[:, :, :, None] * np.asarray(eng2.Xsites[0])[:, None, None, :]
-    Rphi = np.asarray(re0[0])[:, :, None, :] * np.asarray(eng2.Xsites[1])[:, None, :, None]
+
+    def as3d(a):
+        a = np.asarray(a)
+        return a[:, None, :] if a.ndim == 2 else a
+
+    Lphi = as3d(le0[0])[:, :, :, None] * np.asarray(eng2.Xsites[0]).T[:, None, None, :]
+    Rphi = as3d(re0[0])[:, :, None, :] * np.asarray(eng2.Xsites[1]).T[:, None, :, None]
     sig = np.exp(np.asarray(le0[1]) + np.asarray(re0[1]))
     nb = X.shape[0]
     # v[b, (k,j=1,m), (a,s,t,r)] — label axis order matches P.reshape(B, -1)
@@ -146,8 +152,12 @@ def test_cg_matches_reference_iteration_exactly():
                           eng.Y, jnp.float32(lam), jnp.float32(1e-30), npass=1)
 
     # numpy replica of fixedL.cc:373-407 (one pass: r, pAp, alpha, B+=alpha r)
-    Lphi = np.asarray(le[0])[:, :, :, None] * np.asarray(eng.Xsites[0])[:, None, None, :]
-    Rphi = np.asarray(re[0])[:, :, None, :] * np.asarray(eng.Xsites[1])[:, None, :, None]
+    def as3d(a):
+        a = np.asarray(a)
+        return a[:, None, :] if a.ndim == 2 else a
+
+    Lphi = as3d(le[0])[:, :, :, None] * np.asarray(eng.Xsites[0]).T[:, None, None, :]
+    Rphi = as3d(re[0])[:, :, None, :] * np.asarray(eng.Xsites[1]).T[:, None, :, None]
     sig = np.exp(np.asarray(le[1]) + np.asarray(re[1]))
     B5n = np.asarray(B5, dtype=np.float64)
     nb = X.shape[0]

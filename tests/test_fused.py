@@ -92,3 +92,13 @@ def test_fused_ranks_tracked():
     eng.run_fused(Sweeps.constant(1, 2, 6, 1e-10), verbose=False)
     assert eng.ranks.max() <= 6 + 0  # maxm honored
     assert eng.ranks[0] == 1 and eng.ranks[-1] == 1
+
+
+def test_evaluator_matches_full_test():
+    from tnml_tpu.eval.fulltest import Evaluator, full_test
+    W, X, labels = make_problem(n=8, batch=20, label_site=4, seed=3)
+    ev = Evaluator(X, labels)
+    rep_a = ev.evaluate(pack(W, pad=8))
+    rep_b = full_test(W, X, labels)
+    assert rep_a.n_correct == rep_b.n_correct
+    np.testing.assert_array_equal(rep_a.predictions, rep_b.predictions)

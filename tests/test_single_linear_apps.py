@@ -16,7 +16,7 @@ def test_single_then_separate_fulltest(tmp_path, small_datadir, capsys):
 
     for l in range(10):
         inp = write_input(tmp_path / f"inp{l}", datadir=small_datadir, label=l,
-                          Ntrain=10, maxm=8, Nsweep=1, Npass=3, ninitial=3,
+                          Ntrain=15, maxm=8, Nsweep=2, Npass=3, ninitial=3,
                           cutoff="1E-9", **{"lambda": "1E-6"},
                           rescale="fixed", feature="normal")
         assert run_in(tmp_path, single.main, inp) == 0

@@ -34,15 +34,16 @@ def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
     if X.shape[1] != packed.n:
         raise ValueError("X length mismatch")
     nb = X.shape[0]
-    xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))), dtype=dtype)
+    xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))), dtype=dtype)
     xsites = split_sites(xs, packed.n)
     state = edge_env(nb, packed.pad, dtype)
     for j in range(packed.n):
         state = env_extend(state[0], state[1], xsites[j], packed.cores[j],
                            fromleft=True)
+    from tnml_tpu.train.env import unsqueeze_env
     arr, sig = state
     # right edge: bond index 0 holds the scalar(s)
-    return arr[:, :, 0], sig
+    return unsqueeze_env(arr)[:, :, 0], sig
 
 
 @dataclass
@@ -89,14 +90,42 @@ def full_test(w: MPS, X: np.ndarray, labels: np.ndarray,
         raise ValueError("full_test expects a labeled MPS (fixedL-style)")
     packed = pack(w, pad or max(w.max_bond(), 2))
     P, _ = contract_batch(packed, X)
-    weights = np.abs(np.asarray(P))            # fabs, util.h:167
-    pred = weights.argmax(axis=1)
+    return _report(np.abs(np.asarray(P)), labels)
+
+
+def _report(weights: np.ndarray, labels: np.ndarray) -> TestReport:
+    pred = weights.argmax(axis=1)              # fabs scoring, util.h:167
     correct = pred == labels
     per_tot = np.bincount(labels, minlength=10)
     per_cor = np.bincount(labels[correct], minlength=10)
     return TestReport(n_total=len(labels), n_correct=int(correct.sum()),
                       per_digit_total=per_tot, per_digit_correct=per_cor,
                       predictions=pred)
+
+
+class Evaluator:
+    """Reusable test-set evaluator: features upload once; evaluate device-resident
+    cores (e.g. ``engine.packed()``) without any host round-trip of the model.
+
+    The in-training analog of running fulltest between sweeps.
+    """
+
+    def __init__(self, X: np.ndarray, labels: np.ndarray, dtype=jnp.float32):
+        xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))),
+                         dtype=dtype)
+        from tnml_tpu.train.step import split_sites
+        self.xsites = split_sites(xs, int(xs.shape[0]))
+        self.labels = np.asarray(labels)
+        self.nb = X.shape[0]
+
+    def evaluate(self, packed: PackedMPS) -> TestReport:
+        state = edge_env(self.nb, packed.pad, self.xsites[0].dtype)
+        for j in range(packed.n):
+            state = env_extend(state[0], state[1], self.xsites[j],
+                               packed.cores[j], fromleft=True)
+        from tnml_tpu.train.env import unsqueeze_env
+        P = np.asarray(unsqueeze_env(state[0])[:, :, 0])
+        return _report(np.abs(P), self.labels)
 
 
 def separate_full_test(ws: Sequence[MPS], X: np.ndarray,

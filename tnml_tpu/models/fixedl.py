@@ -154,11 +154,16 @@ class FixedLModel:
         """Full mldmrg run with per-sweep checkpointing and control-file polling."""
         eng = self.make_engine(X, labels, cfg, sharding=sharding,
                                env_store=env_store)
-        eng.init_envs()
-        if verbose:
-            cost, _, ncor, _ = eng.quadcost(0)
-            print(f"Before starting DMRG Cost = {float(cost) / eng.nt:.10f} "
-                  f"(correct {int(ncor)}/{eng.nt})")
+        # moving-label CG training runs scan-fused (its wing stacks replace the
+        # per-bond env table entirely — building both would double HBM)
+        fused = (cfg.label_mode == "moving"
+                 and cfg.method in ("conj", "fast_conj", "fast_conj_exact"))
+        if not fused:
+            eng.init_envs()
+            if verbose:
+                cost, _, ncor, _ = eng.quadcost(0)
+                print(f"Before starting DMRG Cost = {float(cost) / eng.nt:.10f} "
+                      f"(correct {int(ncor)}/{eng.nt})")
         history = []
         stop = [False]
 
@@ -176,10 +181,7 @@ class FixedLModel:
             if ctl.get("stop"):
                 stop[0] = True
 
-        # moving-label CG training uses the scan-fused engine (two device calls
-        # per sweep); control files are then polled per sweep instead of per bond
-        fused = (cfg.label_mode == "moving"
-                 and cfg.method in ("conj", "fast_conj", "fast_conj_exact"))
+        # fused mode polls control files per sweep instead of per bond
         for sw in range(cfg.nsweep):
             maxm_sw = min(cfg.maxm, eng.pad)
             sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw), maxm_sw,

@@ -12,7 +12,7 @@ all are 1 for the one-vs-rest `single` model, whose targets ride in Y):
     B5    [a, s, t, r, J]    two-site bond tensor (a/r: padded bonds, s/t: phys, J label)
     LE    [B, K_l, a]        left wing  (+ per-image log-scale sigma_L [B])
     RE    [B, K_r, r]        right wing (+ sigma_R)
-    xc,x1 [B, d]             phi features of the two active sites
+    xc,x1 [d, B]             phi features of the two active sites (lanes = batch)
     Y     [B, K_l*J*K_r]     targets (one-hot rows for fixedL; {0,1} scalars for single)
 """
 
@@ -64,6 +64,10 @@ def _wing_products(LE, RE, xc, x1, mxu_dtype=None):
     einsums hit the MXU's bf16 path; every contraction below still accumulates in
     float32 via ``preferred_element_type``.
     """
+    from tnml_tpu.train.env import unsqueeze_env
+    LE = unsqueeze_env(LE)
+    RE = unsqueeze_env(RE)
+    xc, x1 = xc.T, x1.T          # [d, B] storage layout -> [B, d] compute form
     Lphi = LE[:, :, :, None] * xc[:, None, None, :]
     Rphi = RE[:, :, None, :] * x1[:, None, :, None]
     if mxu_dtype is not None:
@@ -118,7 +122,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
     Bsz = LE.shape[0]
     Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
     sig = jnp.exp(sigL + sigR)[:, None, None, None]          # [B,1,1,1]
-    Y4 = Y.reshape(Bsz, LE.shape[1], B5.shape[4], RE.shape[1])
+    Y4 = Y.reshape(Bsz, Lphi.shape[1], B5.shape[4], Rphi.shape[1])
 
     def grad_and_cost(B):
         P = apply_bond(B, Lphi, Rphi) * sig

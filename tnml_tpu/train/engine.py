@@ -117,14 +117,15 @@ class SweepEngine:
                                  "before packing (MPS.move_label)")
         self.label_mode = label_mode
 
-        # site-major features, split once into per-site device arrays so the bond
-        # loop never does an eager slice
+        # site-major features in [N, d, B] layout (lanes = batch; a [B, d] slice
+        # pads d=2 lanes to 128 -> 64x HBM waste), split once into per-site [d, B]
+        # device arrays so the bond loop never does an eager slice
         if x_site_major:
-            xs = jnp.asarray(X, dtype=dtype)   # device featurize path (phi kernel)
+            xs = jnp.transpose(jnp.asarray(X, dtype=dtype), (0, 2, 1))
         else:
-            xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 0, 2))),
+            xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))),
                              dtype=dtype)
-        xs = self._shard(xs, batch_axis=1)
+        xs = self._shard(xs, batch_axis=2)
         self.Xsites = step_ops.split_sites(xs, self.n)
         self.labels = self._shard(jnp.asarray(labels, dtype=jnp.int32), batch_axis=0)
         if model.label_site is not None:
@@ -362,24 +363,14 @@ class SweepEngine:
                 raise ValueError("fused sweeps need the label on core 0")
             carry = self.cores[0]
         next_cores = jnp.stack([self.cores[j] for j in range(1, n)])
-        # initial right envs at sites 2..N-1 (bond order), then the edge row
-        prev = self._edge_env()
-        rows, sigs = [], []
-        for j in range(n - 1, 1, -1):
-            prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],
-                              fromleft=False, out_dtype=self.env_dtype)
-            rows.append(prev[0])
-            sigs.append(prev[1])
-        edge = self._edge_env()
-        opp = jnp.stack(rows[::-1] + [edge[0]])
-        opp_sig = jnp.stack(sigs[::-1] + [edge[1]])
         xs = jnp.stack(self.Xsites)
+        # bond-aligned right-wing stack (row t = far wing at bond t, edge included)
+        opp, opp_sig = seg_ops.init_right_wings(next_cores, xs[1:],
+                                                env_dtype=self.env_dtype)
         self._fs = {
             "carry": carry, "next_cores": next_cores,
             "opp": opp, "opp_sig": opp_sig,
-            "xa_f": xs[:-1], "xn_f": xs[1:],
-            "xa_b": xs[1:][::-1], "xn_b": xs[:-1][::-1],
-            "edge": edge,
+            "xl": xs[:-1], "xr": xs[1:],
         }
 
     def run_fused(self, sweeps: Sweeps, verbose: bool = True) -> List[BondStats]:
@@ -409,36 +400,36 @@ class SweepEngine:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
             t0 = time.perf_counter()
+            # bond-aligned ping-pong: each half-sweep's ys ARE the next one's xs
             fwd = seg_ops.half_sweep(fs["carry"], fs["next_cores"], fs["opp"],
-                                     fs["opp_sig"], fs["xa_f"], fs["xn_f"],
+                                     fs["opp_sig"], fs["xl"], fs["xr"],
                                      self.Y, self.labels, self._hyp_f,
                                      self._hyp_i, forward=True, **common)
-            edge = fs["edge"]
-            b_opp = jnp.concatenate([fwd.env_arr[n - 3::-1], edge[0][None]])
-            b_sig = jnp.concatenate([fwd.env_sig[n - 3::-1], edge[1][None]])
-            bwd = seg_ops.half_sweep(fwd.carry_core, fwd.cores[::-1], b_opp,
-                                     b_sig, fs["xa_b"], fs["xn_b"],
+            bwd = seg_ops.half_sweep(fwd.carry_core, fwd.cores, fwd.env_arr,
+                                     fwd.env_sig, fs["xl"], fs["xr"],
                                      self.Y, self.labels, self._hyp_f,
                                      self._hyp_i, forward=False, **common)
             fs["carry"] = bwd.carry_core
-            fs["next_cores"] = bwd.cores[::-1]
-            fs["opp"] = jnp.concatenate([bwd.env_arr[::-1][1:], edge[0][None]])
-            fs["opp_sig"] = jnp.concatenate([bwd.env_sig[::-1][1:], edge[1][None]])
+            fs["next_cores"] = bwd.cores
+            fs["opp"] = bwd.env_arr
+            fs["opp_sig"] = bwd.env_sig
 
-            stats = np.asarray(jnp.concatenate([fwd.stats, bwd.stats]))
+            fwd_stats = np.asarray(fwd.stats)
+            bwd_stats = np.asarray(bwd.stats)
             dt = time.perf_counter() - t0
-            for t in range(stats.shape[0]):
-                fwd_leg = t < n - 1
-                b = t if fwd_leg else (n - 2) - (t - (n - 1))
-                st = self._unpack_stats(sw + 1, b, +1 if fwd_leg else -1,
-                                        int(self.ranks[b + 1]), stats[t])
+            visit = [(b, +1, fwd_stats[b]) for b in range(n - 1)] + \
+                    [(b, -1, bwd_stats[b]) for b in range(n - 2, -1, -1)]
+            for b, direction, vec in visit:
+                st = self._unpack_stats(sw + 1, b, direction,
+                                        int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
             if verbose:
                 last = history[-1]
+                n_bonds = len(visit)
                 msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
-                       f"(fused, {stats.shape[0]} bonds, "
-                       f"{dt / stats.shape[0] * 1e3:.1f} ms/bond), "
+                       f"(fused, {n_bonds} bonds, "
+                       f"{dt / n_bonds * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
                 if self.report_cost:
                     msg += f", cost/NT {last.cost / self.nt:.10f}"

@@ -25,11 +25,24 @@ import jax.numpy as jnp
 Env = Tuple[jnp.ndarray, jnp.ndarray]  # (arr [B, K, m], sigma [B])
 
 
+def squeeze_env(arr: jnp.ndarray) -> jnp.ndarray:
+    """Storage form: drop a K=1 axis.  A [B, 1, m] array places the size-1 axis in
+    the TPU sublane position, which tiling pads 8-16x in HBM; [B, m] tiles cleanly.
+    """
+    return arr[:, 0, :] if arr.ndim == 3 and arr.shape[1] == 1 else arr
+
+
+def unsqueeze_env(arr: jnp.ndarray) -> jnp.ndarray:
+    """Compute form: restore the K axis (free inside jit)."""
+    return arr[:, None, :] if arr.ndim == 2 else arr
+
+
 def edge_env(batch: int, pad: int, dtype=jnp.float32) -> Env:
     """The trivial dim-1 boundary environment, padded: one-hot at bond index 0.
 
-    Per-image log-scales are always float32, whatever the wing storage dtype."""
-    arr = jnp.zeros((batch, 1, pad), dtype=dtype).at[:, 0, 0].set(1.0)
+    Returned in squeezed [B, pad] storage form; per-image log-scales are always
+    float32, whatever the wing storage dtype."""
+    arr = jnp.zeros((batch, pad), dtype=dtype).at[:, 0].set(1.0)
     return arr, jnp.zeros((batch,), jnp.float32)
 
 
@@ -42,7 +55,12 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     (K: 1 -> L).  ``fromleft=True`` grows a left wing (contract the core's left bond),
     else a right wing.  ``out_dtype`` (e.g. bfloat16) controls wing STORAGE only —
     contraction math stays in the compute dtype; per-image scales stay float32.
+    Accepts the squeezed [B, m] storage form; the output is returned SQUEEZED when
+    K == 1 (see squeeze_env).  ``x`` arrives in [d, B] storage layout (lanes =
+    batch; a [B, d] layout pads d=2 lanes to 128 — a 64x HBM waste).
     """
+    env = unsqueeze_env(env)
+    x = x.T
     if core.ndim == 3:
         if fromleft:
             out = jnp.einsum("bka,bs,asr->bkr", env, x, core)
@@ -61,4 +79,4 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     out = out / safe[:, None, None]
     if out_dtype is not None:
         out = out.astype(out_dtype)
-    return out, sigma + jnp.log(safe)
+    return squeeze_env(out), sigma + jnp.log(safe)

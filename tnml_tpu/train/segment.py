@@ -4,17 +4,24 @@ The per-bond engine enqueues one device call per bond; through a networked TPU e
 call carries ~1-1.5 ms of fixed overhead — comparable to the bond's compute.  For
 model families whose bond structure is uniform along the chain (the moving-label
 fixedL mode and the label-free `single` family: the label rides ON the active pair,
-every wing is [B,1,m]), the whole half-sweep folds into a single ``lax.scan``:
+every wing stays thin), the whole half-sweep folds into a single ``lax.scan``.
 
-  carry: (left wing (arr, sig), the active core that travels with the sweep)
-  xs:    per-bond rows — the opposite wing (consumed in order), the two feature
-         slices, the not-yet-touched next core
-  ys:    finalized cores, the freshly written wings (consumed by the NEXT half-sweep
-         in reverse order), and the per-bond stats vector
+**Bond-aligned buffers, zero reassembly.**  All stacked arrays are indexed by BOND
+(row t <-> bond t = sites (t, t+1)), never by visit order:
 
-No per-site dict, no per-bond dispatch: the engine ping-pongs four stacked arrays
-between two scan calls per sweep.  The fixed-label mode keeps the per-bond path (its
-wings change width at the label core); fusing it is a planned follow-up.
+- a backward half-sweep is ``lax.scan(..., reverse=True)`` over the same rows;
+- each step emits the CARRY-IN wing — which is by construction exactly the wing the
+  opposite-direction half-sweep must read at the same bond (the reference invariant:
+  ha=1 bond b reads the env written by ha=2 bond b+1 and vice versa,
+  fixedL.cc:192-233), so the ys of one half-sweep is directly the xs of the next;
+- each step emits the finalized (label-free) core of the pair, which is exactly the
+  not-yet-touched core the opposite direction absorbs at the same bond;
+- the chain-edge wings fall out of the carry initialization (bond 0's carry-in IS the
+  edge; it round-trips as a stored row and stays correct).
+
+The engine therefore ping-pongs four stacked buffers between exactly two device calls
+per sweep with no concatenates, reversals, or per-site dicts — at 60k images a single
+11 GB wing stack, never two.
 """
 
 from __future__ import annotations
@@ -32,56 +39,91 @@ from tnml_tpu.train.env import env_extend
 
 
 class HalfSweepResult(NamedTuple):
-    cores: jnp.ndarray        # [n_bonds, pad, d, pad] finalized plain cores
+    cores: jnp.ndarray        # [n_bonds, pad, d, pad]: row t = finalized core of
+                              # bond t (site t fwd / site t+1 bwd) — directly the
+                              # next half-sweep's `next_cores`
     carry_core: jnp.ndarray   # [pad, d, pad, J] the travelling (labelled) core
-    env_arr: jnp.ndarray      # [n_bonds, B, 1, pad] wings written this half-sweep
+    env_arr: jnp.ndarray      # [n_bonds, B, pad]: row t = carry-in wing at bond t
+                              # — directly the next half-sweep's `opp_env`
     env_sig: jnp.ndarray      # [n_bonds, B]
-    stats: jnp.ndarray        # [n_bonds, stats_len]
+    stats: jnp.ndarray        # [n_bonds, stats_len], row t = bond t
+
+
+def _edge(nb, pad, dtype):
+    return (jnp.zeros((nb, pad), dtype or jnp.float32).at[:, 0].set(1.0),
+            jnp.zeros((nb,), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("env_dtype",))
+def init_right_wings(cores, xs, env_dtype=None):
+    """Initial bond-aligned right-wing stack (TrainStates::init, fixedL.cc:122-157).
+
+    ``cores`` [n-1, pad, d, pad] and ``xs`` [n-1, d, B] are sites 1..N-1 in site
+    order.  Scanning them in reverse and emitting carry-ins yields rows
+    row t = right wing covering sites t+2..N-1 (row N-2 = the edge) — exactly the
+    `opp_env` layout the first forward half-sweep reads.
+    """
+    nb = xs.shape[2]
+    pad = cores.shape[1]
+    carry = _edge(nb, pad, env_dtype)
+
+    def body(c, inp):
+        core, x = inp
+        out = env_extend(c[0], c[1], x, core, fromleft=False, out_dtype=env_dtype)
+        return out, c   # emit carry-IN
+
+    _, (envs, sigs) = lax.scan(body, carry, (cores, xs), reverse=True)
+    return envs, sigs
 
 
 @partial(jax.jit, static_argnames=("forward", "method", "npass", "check_r0",
                                    "report", "env_dtype", "mxu_dtype",
-                                   "svd_method"))
+                                   "svd_method"),
+         donate_argnums=(1, 2, 3))
 def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
-               next_cores,        # [n, pad,d,pad] cores the sweep will absorb
-               opp_env, opp_sig,  # [n, B, 1, pad], [n, B]: wings on the far side
-               x_active, x_next,  # [n, B, d]: features of active/next site per bond
+               next_cores,        # [n_bonds, pad,d,pad] row t: core absorbed at bond t
+               opp_env, opp_sig,  # [n_bonds, B, pad],[n_bonds, B] row t: far wing at bond t
+               x_left, x_right,   # [n_bonds, d, B] rows t: features of sites t, t+1
                Y, labels, hyp_f, hyp_i,
                forward: bool, method: str, npass: int, check_r0: bool,
                report: bool, env_dtype=None, mxu_dtype=None,
                svd_method: str = "gram"):
-    """One fused half-sweep for travelling-label structure.
+    """One fused half-sweep over bonds 0..n_bonds-1 (forward) or reversed.
 
-    ``forward=True``: active core is the LEFT member of each pair, the opposite wing
-    is the RIGHT env stack, and the freshly written wings are LEFT envs (and vice
-    versa).  Rows of all xs stacks are ordered in bond-visit order.
+    The bond-aligned stacks live in the fori_loop CARRY and are updated in place:
+    iteration for bond t reads row t (the far wing / the core to absorb) and then
+    overwrites that same row with its own output (the carry-in wing / the finalized
+    core).  With the input buffers donated, the whole sweep holds exactly ONE wing
+    stack in HBM — at 60k images an 11 GB buffer, never two.
     """
     lam, cconv = hyp_f[0], hyp_f[1]
     cutoff = hyp_f[2]
     maxm, minm = hyp_i[0], hyp_i[1]
     nb = Y.shape[0]
     pad = carry_core.shape[0]
+    n_bonds = next_cores.shape[0]
+    npass_len = step_ops.stats_len(npass)
+    carry0 = _edge(nb, pad, env_dtype)
 
-    edge_arr = jnp.zeros((nb, 1, pad),
-                         env_dtype or jnp.float32).at[:, 0, 0].set(1.0)
-    edge_sig = jnp.zeros((nb,), jnp.float32)
-
-    def body(carry, xs):
-        (near_arr, near_sig, core_t) = carry
-        (opp_a, opp_s, xa, xn, w_next) = xs
+    def body(i, st):
+        env_st, sig_st, core_st, stats_st, near_arr, near_sig, core_t = st
+        t = i if forward else (n_bonds - 1 - i)
+        opp_a = lax.dynamic_index_in_dim(env_st, t, keepdims=False)
+        opp_s = lax.dynamic_index_in_dim(sig_st, t, keepdims=False)
+        w_next = lax.dynamic_index_in_dim(core_st, t, keepdims=False)
+        xl = lax.dynamic_index_in_dim(x_left, t, keepdims=False)
+        xr = lax.dynamic_index_in_dim(x_right, t, keepdims=False)
         if forward:
             wl, wr = core_t, w_next
             LE, lsc, RE, rsc = near_arr, near_sig, opp_a, opp_s
-            xc, x1 = xa, xn
-            label_leg = "right"
+            label_leg, x_shift = "right", xl
         else:
             wl, wr = w_next, core_t
             LE, lsc, RE, rsc = opp_a, opp_s, near_arr, near_sig
-            xc, x1 = xn, xa
-            label_leg = "left"
+            label_leg, x_shift = "left", xr
 
         B5 = bond_ops.make_bond(wl, wr)
-        cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
+        cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xl, xr, Y, lam, cconv,
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"))
@@ -92,7 +134,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         if report:
             newB = bond_ops.make_bond(nwl, nwr)
             cost, per_label, ncor, reg = bond_ops.quadcost(
-                newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam,
+                newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
                 mxu_dtype=mxu_dtype)
         else:
             cost = jnp.float32(jnp.nan)
@@ -101,12 +143,12 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
 
         if forward:
             fixed_core, core_next = nwl, nwr      # label moved right into nwr
-            new_arr, new_sig = env_extend(near_arr, near_sig, xa, nwl,
-                                          fromleft=True, out_dtype=env_dtype)
+            new = env_extend(near_arr, near_sig, x_shift, nwl,
+                             fromleft=True, out_dtype=env_dtype)
         else:
             fixed_core, core_next = nwr, nwl      # label moved left into nwl
-            new_arr, new_sig = env_extend(near_arr, near_sig, xa, nwr,
-                                          fromleft=False, out_dtype=env_dtype)
+            new = env_extend(near_arr, near_sig, x_shift, nwr,
+                             fromleft=False, out_dtype=env_dtype)
 
         stats = jnp.zeros((step_ops.stats_len(npass),), jnp.float32)
         stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
@@ -120,10 +162,17 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.S_CG,))
         stats = lax.dynamic_update_slice(stats, cg.rnorms,
                                          (step_ops.S_CG + npass,))
-        return ((new_arr, new_sig, core_next),
-                (fixed_core, new_arr, new_sig, stats))
+        # overwrite the consumed row in place: the CARRY-IN wing is exactly the
+        # row the opposite direction reads at this bond
+        env_st = lax.dynamic_update_index_in_dim(
+            env_st, near_arr.astype(env_st.dtype), t, 0)
+        sig_st = lax.dynamic_update_index_in_dim(sig_st, near_sig, t, 0)
+        core_st = lax.dynamic_update_index_in_dim(core_st, fixed_core, t, 0)
+        stats_st = lax.dynamic_update_index_in_dim(stats_st, stats, t, 0)
+        return (env_st, sig_st, core_st, stats_st, new[0], new[1], core_next)
 
-    init = ((edge_arr, edge_sig, carry_core))
-    (fin_arr, fin_sig, fin_core), (cores, env_arr, env_sig, stats) = lax.scan(
-        body, init, (opp_env, opp_sig, x_active, x_next, next_cores))
-    return HalfSweepResult(cores, fin_core, env_arr, env_sig, stats)
+    stats0 = jnp.zeros((n_bonds, npass_len), jnp.float32)
+    init = (opp_env, opp_sig, next_cores, stats0, carry0[0], carry0[1], carry_core)
+    (env_st, sig_st, core_st, stats_st, _, _, fin_core) = lax.fori_loop(
+        0, n_bonds, body, init)
+    return HalfSweepResult(core_st, fin_core, env_st, sig_st, stats_st)

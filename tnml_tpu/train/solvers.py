@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 def _design_matrix(B5, LE, sigL, RE, sigR, xc, x1):
     """Xv [NT, D] with D = a*s*t*r (label-free), rows scaled by exp(sigma)."""
+    from tnml_tpu.train.env import unsqueeze_env
+    LE, RE = unsqueeze_env(LE), unsqueeze_env(RE)
+    xc, x1 = xc.T, x1.T          # [d, B] storage layout
     a, s, t, r, J = B5.shape
     if J != 1 or LE.shape[1] != 1 or RE.shape[1] != 1:
         raise ValueError("direct solvers support the label-free (single) model only")
@@ -99,6 +102,8 @@ def noise_split(B5, env, env_sig, cutoff, maxm, minm, noise, iso_left: bool):
     the same env twice, single.h:651-659).  Returns (wl, wr, rank, truncerr) with the
     isometric side from the top eigenvectors of rho.
     """
+    from tnml_tpu.train.env import unsqueeze_env
+    env = unsqueeze_env(env)
     a, s, t, r, J = B5.shape
     if J != 1:
         raise ValueError("noise split supports the label-free model only")
