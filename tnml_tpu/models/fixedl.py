@@ -206,7 +206,8 @@ class FixedLModel:
                 if verbose:
                     print(f"[pad] bond ranks reached {eng.pad}; repacking to {new_pad}")
                 eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
-                eng.init_envs()
+                if not fused:
+                    eng.init_envs()
         return history
 
     # -- inference ---------------------------------------------------------------

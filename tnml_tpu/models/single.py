@@ -96,8 +96,12 @@ class SingleModel:
     def train(self, X, labels, cfg: SingleConfig, workdir: Optional[str] = ".",
               sharding=None, verbose: bool = True):
         eng = self.make_engine(X, labels, cfg, sharding=sharding)
-        eng.init_envs()
-        if verbose:
+        # label-free CG sweeps without noise fold into the scan-fused engine
+        fused = (cfg.method in ("conj", "fast_conj", "fast_conj_exact")
+                 and cfg.noise < 1e-14)
+        if not fused:
+            eng.init_envs()
+        if verbose and not fused:
             cost, _, _, _ = eng.quadcost(0)
             print(f"Before DMRG, Cost = {float(cost) / eng.nt:.10f}")
         history = []
@@ -117,7 +121,12 @@ class SingleModel:
             maxm_sw = min(cfg.maxm, eng.pad)
             sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw),
                                       maxm_sw, cfg.cutoff, noise=cfg.noise)
-            history += eng.run(sweeps1, per_bond_hook=control_hook, verbose=verbose)
+            if fused:
+                history += eng.run_fused(sweeps1, verbose=verbose)
+                control_hook(0, +1)
+            else:
+                history += eng.run(sweeps1, per_bond_hook=control_hook,
+                                   verbose=verbose)
             self.w = unpack(eng.packed())
             if workdir is not None:
                 ckpt.save_mps(os.path.join(workdir, cfg.wname), self.w)
@@ -126,7 +135,8 @@ class SingleModel:
                 if verbose:
                     print(f"[pad] bond ranks reached {eng.pad}; repacking to {new_pad}")
                 eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
-                eng.init_envs()
+                if not fused:
+                    eng.init_envs()
         return history
 
     def save(self, path: str) -> None:
