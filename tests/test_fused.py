@@ -102,3 +102,20 @@ def test_evaluator_matches_full_test():
     rep_b = full_test(W, X, labels)
     assert rep_a.n_correct == rep_b.n_correct
     np.testing.assert_array_equal(rep_a.predictions, rep_b.predictions)
+
+
+def test_two_axis_mesh_matches_unsharded():
+    import jax
+    from tnml_tpu.parallel.mesh import TwoAxisParallel, make_mesh_2d
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    W, X, labels = make_problem(n=8, batch=16, label_site=4, seed=2)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    tp = TwoAxisParallel(make_mesh_2d(4, 2))
+    e1 = SweepEngine(pack(W, pad=8), X, labels, lam=1e-3, npass=2, sharding=tp)
+    e1.init_envs()
+    h1 = e1.run(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
+    e2 = SweepEngine(pack(W, pad=8), X, labels, lam=1e-3, npass=2)
+    e2.init_envs()
+    h2 = e2.run(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
+    assert h1[-1].cost == pytest.approx(h2[-1].cost, rel=1e-3)

@@ -29,6 +29,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, mp: int) -> Mesh:
+    devs = jax.devices()[:dp * mp]
+    return Mesh(np.asarray(devs).reshape(dp, mp), ("dp", "mp"))
+
+
 @dataclass
 class DataParallel:
     """Batch-axis sharding policy handed to the sweep engine."""
@@ -52,3 +57,30 @@ class DataParallel:
         """Smallest multiple of the mesh size >= n."""
         k = self.n
         return ((n + k - 1) // k) * k
+
+
+@dataclass
+class TwoAxisParallel(DataParallel):
+    """dp x mp mesh: batch sharded on 'dp', MPS bond dimension sharded on 'mp'.
+
+    The tensor-parallel analog for this model family: cores' right-bond axes are
+    placed on 'mp' and sharding propagation turns the bond contractions into
+    collectives over that axis.  Useful when maxm is large enough that the
+    [pad, d, pad(, L)] cores and [B, pad] wings outgrow a single chip's share.
+    """
+
+    mesh: Mesh
+    axis: str = "dp"
+
+    def __post_init__(self):
+        if "mp" not in self.mesh.axis_names:
+            raise ValueError("TwoAxisParallel needs a mesh with a 'mp' axis")
+
+    @property
+    def n(self) -> int:
+        return int(self.mesh.shape["dp"])
+
+    def shard_core(self, core):
+        spec = [None] * core.ndim
+        spec[2] = "mp"          # right bond axis
+        return jax.device_put(core, NamedSharding(self.mesh, P(*spec)))

@@ -141,6 +141,9 @@ class SweepEngine:
             self.Y = self._shard(jnp.asarray(y, dtype=dtype), batch_axis=0)
 
         self.cores: List[jnp.ndarray] = list(model.cores)
+        if sharding is not None and hasattr(sharding, "shard_core"):
+            # tensor-parallel-style bond-dimension sharding (TwoAxisParallel)
+            self.cores = [sharding.shard_core(c) for c in self.cores]
         self.ranks = np.asarray(model.ranks).copy()
         self.env = env_store if env_store is not None else DeviceEnvStore()
         self._edge = None
