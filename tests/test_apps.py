@@ -111,3 +111,18 @@ def test_fulltest_requires_sites(tmp_path, small_datadir):
     inp = write_input(tmp_path / "inp", datadir=small_datadir)
     with pytest.raises(SystemExit, match="sites"):
         run_in(tmp_path, fulltest.main, inp)
+
+
+def test_keep_best_and_maxm_schedule(tmp_path, small_datadir, capsys):
+    from tnml_tpu.apps import fixedL
+
+    inp = write_input(tmp_path / "inp", datadir=small_datadir, Ntrain=10,
+                      maxm=16, Nsweep=3, Npass=3, ninitial=2,
+                      maxm_schedule="6,10,16", keep_best="yes",
+                      label_mode="moving", method="fast_conj_exact",
+                      rescale="fixed", feature="normal")
+    assert run_in(tmp_path, fixedL.main, inp) == 0
+    out = capsys.readouterr().out
+    assert "max m = 6" in out           # first sweep capped by the schedule
+    assert "[keep_best] restoring" in out
+    assert (tmp_path / "W").exists()

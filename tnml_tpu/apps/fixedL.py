@@ -24,6 +24,14 @@ from tnml_tpu.data.mnist import TRAIN
 from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
 
 
+def _parse_schedule(text: str):
+    try:
+        vals = [int(x) for x in text.split(",") if x.strip()]
+    except ValueError:
+        raise SystemExit(f"maxm_schedule={text!r}: expected comma-separated ints")
+    return vals or None
+
+
 def main(argv=None) -> int:
     cfg = common.load_config(argv or sys.argv)
 
@@ -43,7 +51,12 @@ def main(argv=None) -> int:
         pad=cfg.get_int("pad", 0) or None,
         label_mode=cfg.get_string("label_mode", "fixed"),
         replace=cfg.get_yesno("replace", False),
+        keep_best=cfg.get_yesno("keep_best", False),
+        maxm_schedule=_parse_schedule(cfg.get_string("maxm_schedule", "")),
     )
+
+    if fl.maxm_schedule:
+        fl.maxm = max(fl.maxm, max(fl.maxm_schedule))
 
     feature = cfg.get_string("feature", "series")
     X, labels = common.load_features(cfg, TRAIN, feature, d=d)

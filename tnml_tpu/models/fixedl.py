@@ -92,9 +92,19 @@ class FixedLConfig:
     pad: Optional[int] = None         # padded bond dim; default grows on demand
     label_mode: str = "fixed"         # 'fixed' (reference) | 'moving' (paper; all
                                       # wings label-free -> 10x less env memory)
+    maxm_schedule: Optional[List[int]] = None   # per-sweep maxm ramp (then hold)
+    keep_best: bool = False    # keep the per-sweep checkpoint with the lowest
+                               # training cost instead of the last one (sweep-to-
+                               # sweep cost can oscillate at aggressive settings)
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
+
+    def maxm_for_sweep(self, sw: int) -> int:
+        if not self.maxm_schedule:
+            return self.maxm
+        sched = self.maxm_schedule
+        return int(sched[min(sw, len(sched) - 1)])
 
 
 class FixedLModel:
@@ -182,8 +192,9 @@ class FixedLModel:
                 stop[0] = True
 
         # fused mode polls control files per sweep instead of per bond
+        best_cost, best_w = float("inf"), None
         for sw in range(cfg.nsweep):
-            maxm_sw = min(cfg.maxm, eng.pad)
+            maxm_sw = min(cfg.maxm_for_sweep(sw), eng.pad)
             sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw), maxm_sw,
                                       cfg.cutoff)
             if fused:
@@ -193,6 +204,9 @@ class FixedLModel:
                 history += eng.run(sweeps1, per_bond_hook=control_hook,
                                    verbose=verbose)
             self.w = unpack(eng.packed())
+            if cfg.keep_best and history and history[-1].cost == history[-1].cost:
+                if history[-1].cost < best_cost:
+                    best_cost, best_w = history[-1].cost, self.w
             if workdir is not None:
                 ckpt.save_mps(os.path.join(workdir, "W"), self.w)
             if per_sweep_hook is not None:
@@ -208,6 +222,13 @@ class FixedLModel:
                 eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
                 if not fused:
                     eng.init_envs()
+        if cfg.keep_best and best_w is not None:
+            if verbose:
+                print(f"[keep_best] restoring sweep checkpoint with cost/NT "
+                      f"{best_cost / eng.nt:.10f}")
+            self.w = best_w
+            if workdir is not None:
+                ckpt.save_mps(os.path.join(workdir, "W"), self.w)
         return history
 
     # -- inference ---------------------------------------------------------------
