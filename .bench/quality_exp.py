@@ -1,0 +1,43 @@
+"""Quality experiment driver: train fixedL (moving label) and log per-sweep test acc.
+
+Usage: python .bench/quality_exp.py <tag> <nt_per_label> <nsweep> <npass> <lam> <ramp> [cconv]
+e.g.   python .bench/quality_exp.py npass6 1000 10 6 3e-2 40,60,80,100,120
+"""
+import sys, os, time, tempfile
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax.numpy as jnp
+from tnml_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from tnml_tpu.data.mnist import TRAIN, TEST, read_mnist
+from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
+from tnml_tpu.ops.feature import FEATURE_SERIES, featurize
+from tnml_tpu.eval.fulltest import Evaluator
+
+tag, nt, nsweep, npass = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+lam, ramp = float(sys.argv[5]), [int(x) for x in sys.argv[6].split(",")]
+cconv = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-10
+alpha = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
+
+tr = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=nt, verbose=False)
+te = read_mnist("/root/reference/mllib/MNIST", TEST, nt=1000, verbose=False)
+X = featurize(tr.images, FEATURE_SERIES, d=2)
+Xte = featurize(te.images, FEATURE_SERIES, d=2)
+cfg = FixedLConfig(nsweep=nsweep, maxm=max(ramp), cutoff=1e-10, lam=lam, alpha=alpha,
+                   npass=npass, cconv=cconv, method="fast_conj_exact",
+                   label_mode="moving", pad=max(ramp), maxm_schedule=ramp,
+                   report_cost=True)
+wd = tempfile.mkdtemp(prefix=f"qexp_{tag}_")
+model = FixedLModel.initialize(X, tr.labels, cfg, workdir=wd, verbose=False)
+ev = Evaluator(Xte, te.labels)
+best = [0.0]
+t0 = time.time()
+
+def hook(sw, eng, history):
+    acc = ev.evaluate(eng.packed()).accuracy
+    best[0] = max(best[0], acc)
+    c = history[-1].cost / eng.nt if history else float("nan")
+    print(f"[{tag}] sweep {sw}: cost/NT {c:.6f} test_acc {acc*100:.2f}% "
+          f"(best {best[0]*100:.2f}%) t={time.time()-t0:.0f}s", flush=True)
+
+model.train(X, tr.labels, cfg, workdir=wd, per_sweep_hook=hook, verbose=False)
+print(f"[{tag}] BEST {best[0]*100:.2f}%", flush=True)

@@ -17,7 +17,7 @@ from tnml_tpu.mps.core import MPS
 def small_datadir(tmp_path):
     d = tmp_path / "data"
     d.mkdir()
-    for split, prefix, n in (("train", "train", 200), ("test", "t10k", 50)):
+    for split, prefix, n in (("train", "train", 400), ("test", "t10k", 50)):
         labels = np.tile(np.arange(10), n // 10)
         imgs = synth_images(labels, split, size=8)
         write_idx(str(d / f"{prefix}-images-idx3-ubyte"), imgs)
@@ -73,9 +73,12 @@ def test_control_files(tmp_path):
 def test_fixedl_then_fulltest_end_to_end(tmp_path, small_datadir, capsys):
     from tnml_tpu.apps import fixedL, fulltest
 
-    inp = write_input(tmp_path / "inp", datadir=small_datadir, Ntrain=20,
-                      maxm=16, Nsweep=3, Npass=4, ninitial=4,
-                      cutoff="1E-10", **{"lambda": "1E-4"},
+    # 40 imgs/label + lambda=1E-3: test accuracy ~33/50 solo, comfortably above
+    # the assert; the earlier 20/label config scored ~17-21 and flaked in-suite
+    # (FP-fusion-level perturbations flip outcomes in this small chaotic regime)
+    inp = write_input(tmp_path / "inp", datadir=small_datadir, Ntrain=40,
+                      maxm=16, Nsweep=4, Npass=4, ninitial=8,
+                      cutoff="1E-10", **{"lambda": "1E-3"},
                       rescale="fixed", feature="normal")
     assert run_in(tmp_path, fixedL.main, inp) == 0
     assert (tmp_path / "W").exists() and (tmp_path / "sites").exists()
@@ -89,7 +92,7 @@ def test_fixedl_then_fulltest_end_to_end(tmp_path, small_datadir, capsys):
     # must beat chance comfortably on this easy-ish split
     import re
     m = re.search(r"(\d+)/50 correct", out)
-    assert m and int(m.group(1)) >= 15
+    assert m and int(m.group(1)) >= 20
 
 
 def test_fixedl_warm_restart(tmp_path, small_datadir, capsys):

@@ -349,3 +349,48 @@ def test_replace_reverts_bad_truncations():
     em.init_envs()
     with pytest.raises(ValueError, match="fixed-label"):
         em.bond_step(1, 0, +1, maxm=8, minm=1, cutoff=1e-10)
+
+
+def test_alpha_damping():
+    """alpha=1 is exactly the undamped path; alpha<1 blends toward the old bond,
+    still trains, and yields a different trajectory (realizes the reference's
+    reserved `alpha` input, README.md:76)."""
+    W, X, labels = make_problem(n=8, batch=24, label_site=3,
+                                dims=[1] + [3] * 7 + [1], seed=7)
+    sweeps = Sweeps.constant(2, 2, 8, 1e-9)
+
+    def run(alpha):
+        eng = SweepEngine(pack(W, pad=8), X, labels, lam=1e-4, npass=3,
+                          alpha=alpha)
+        eng.init_envs()
+        hist = eng.run(sweeps, verbose=False)
+        return unpack(eng.packed()), hist
+
+    w_ref, h_ref = run(1.0)
+    w_one, h_one = run(1.0)
+    w_dmp, h_dmp = run(0.5)
+    # alpha=1.0 is deterministic and identical across runs
+    assert h_ref[-1].cost == h_one[-1].cost
+    for a, b in zip(w_ref.cores, w_one.cores):
+        np.testing.assert_array_equal(a, b)
+    # alpha=0.5 changes the trajectory but still reduces cost
+    assert h_dmp[-1].cost != h_ref[-1].cost
+    eng0 = SweepEngine(pack(W, pad=8), X, labels, lam=1e-4, npass=3)
+    eng0.init_envs()
+    assert h_dmp[-1].cost < float(eng0.quadcost(0)[0])
+
+
+def test_alpha_damping_fused():
+    """Damping also applies in the scan-fused (moving-label) engine."""
+    W, X, labels = make_problem(n=8, batch=24, label_site=0,
+                                dims=[1] + [3] * 7 + [1], seed=9)
+    sweeps = Sweeps.constant(1, 2, 8, 1e-9)
+
+    def run(alpha):
+        eng = SweepEngine(pack(W, pad=8), X, labels, lam=1e-4, npass=3,
+                          alpha=alpha, label_mode="moving")
+        return eng.run_fused(sweeps, verbose=False)
+
+    h1, h1b, h5 = run(1.0), run(1.0), run(0.5)
+    assert h1[-1].cost == h1b[-1].cost
+    assert h5[-1].cost != h1[-1].cost

@@ -4,8 +4,9 @@ Usage: python -m tnml_tpu.apps.fixedL <inputfile>
 
 Input parameters (README.md:65-79 names/defaults): datadir, Ntrain, Nbatch, Nsweep,
 cutoff, maxm, minm, ninitial, nthread, lambda, method, Npass, cconv, feature,
-replace/alpha/clip (accepted for parity; unused — dead in the reference too,
-SURVEY.md §2), plus new TPU-side knobs: rescale (reference|fixed), pad, report_cost,
+replace (revert-on-worse, realized), alpha (bond-update damping, realized), clip
+(accepted for parity; dead in the reference too, SURVEY.md §2), plus new TPU-side
+knobs: rescale (reference|fixed), pad, report_cost,
 dp (shard the batch over this many devices), seed.
 
 The reference hardcodes the 'series' feature map here (fixedL.cc:637-642, the
@@ -43,6 +44,7 @@ def main(argv=None) -> int:
         minm=cfg.get_int("minm", max(10, maxm // 2)),
         cutoff=cfg.get_real("cutoff", 1e-10),
         lam=cfg.get_real("lambda", 0.0),
+        alpha=cfg.get_real("alpha", 1.0),
         npass=cfg.get_int("Npass", 4),
         cconv=cfg.get_real("cconv", 1e-10),
         method=cfg.get_string("method", "conj"),

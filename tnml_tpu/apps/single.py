@@ -28,6 +28,7 @@ def main(argv=None) -> int:
         cutoff=cfg.get_real("cutoff", 1e-8),
         noise=cfg.get_real("noise", 0.0),
         lam=cfg.get_real("lambda", 0.0),
+        alpha=cfg.get_real("alpha", 1.0),
         npass=cfg.get_int("Npass", 4),
         cconv=cfg.get_real("cconv", 1e-10),
         method=cfg.get_string("method", "conj"),

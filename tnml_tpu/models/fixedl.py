@@ -83,6 +83,8 @@ class FixedLConfig:
     minm: Optional[int] = None        # reference default: max(10, maxm//2)
     cutoff: float = 1e-10
     lam: float = 0.0
+    alpha: float = 1.0   # bond-update damping B <- (1-a)B0 + a*Bcg (the reference's
+                         # reserved `alpha` input, README.md:76, realized)
     npass: int = 4
     cconv: float = 1e-10
     method: str = "conj"
@@ -152,7 +154,8 @@ class FixedLModel:
             pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
         pad = max(pad, self.w.max_bond())
         return SweepEngine(pack(self.w, pad), X, labels,
-                           lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
+                           lam=cfg.lam, alpha=cfg.alpha,
+                           npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
                            replace=cfg.replace,
                            label_mode=cfg.label_mode, env_store=env_store,

@@ -31,6 +31,7 @@ class SingleConfig:
     cutoff: float = 1e-8
     noise: float = 0.0
     lam: float = 0.0
+    alpha: float = 1.0   # bond-update damping (see FixedLConfig.alpha)
     npass: int = 4
     cconv: float = 1e-10
     method: str = "conj"
@@ -88,7 +89,7 @@ class SingleModel:
             pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
         pad = max(pad, self.w.max_bond())
         return SweepEngine(pack(self.w, pad), X, labels,
-                           lam=cfg.lam, npass=cfg.npass, cconv=cfg.cconv,
+                           lam=cfg.lam, alpha=cfg.alpha, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, pcut=cfg.pcut, ntarget=cfg.ntarget,
                            target_label=cfg.label, report_cost=cfg.report_cost,
                            sharding=sharding)

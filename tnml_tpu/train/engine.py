@@ -61,6 +61,7 @@ class SweepEngine:
                  labels: np.ndarray,         # [B] int
                  *,
                  lam: float = 0.0,
+                 alpha: float = 1.0,  # bond-update damping: B <- (1-a)B0 + a*Bcg
                  npass: int = 4,
                  cconv: float = 1e-10,
                  method: str = "conj",
@@ -93,6 +94,7 @@ class SweepEngine:
         self.pad = model.pad
         self.label_site = model.label_site
         self.lam = float(lam)
+        self.alpha = float(alpha)
         self.npass = int(npass)
         self.cconv = float(cconv)
         self.method = method
@@ -147,7 +149,7 @@ class SweepEngine:
         self.ranks = np.asarray(model.ranks).copy()
         self.env = env_store if env_store is not None else DeviceEnvStore()
         self._edge = None
-        self._hyp_f = None   # [lambda, cconv, cutoff] device array
+        self._hyp_f = None   # [lambda, cconv, cutoff, pcut, noise, alpha]
         self._hyp_i = None   # [maxm, minm]
         self._schedule = None
 
@@ -174,8 +176,8 @@ class SweepEngine:
                   noise: float = 0.0) -> None:
         self._schedule = (float(cutoff), int(maxm), int(minm), float(noise))
         self.noise = float(noise)
-        self._hyp_f = jnp.asarray([self.lam, self.cconv, cutoff, self.pcut, noise],
-                                  jnp.float32)
+        self._hyp_f = jnp.asarray([self.lam, self.cconv, cutoff, self.pcut, noise,
+                                   self.alpha], jnp.float32)
         self._hyp_i = jnp.asarray([maxm, minm, self.ntarget], jnp.int32)
 
     def set_lambda(self, lam: float) -> None:

@@ -127,6 +127,9 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"))
+        # bond-update damping (engine.alpha -> hyp_f[5]); alpha=1 is undamped
+        alpha = hyp_f[5]
+        cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
         nwl, nwr, rank, truncerr = bond_ops.split_bond(
             cg.B5, cutoff, maxm, minm, label_leg=label_leg,
             iso_left=forward, method=svd_method)

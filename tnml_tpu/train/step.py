@@ -9,7 +9,7 @@ the Python sweep loop only enqueues one async call per bond and never blocks.  A
 per-bond metrics are packed into one flat f32 vector and fetched in bulk at sweep end.
 
 Hyperparameters arrive as two tiny device-resident arrays (hyp_f = [lambda, cconv,
-cutoff], hyp_i = [maxm, minm]) created once per sweep, so LAMBDA hot-reload
+cutoff, pcut, noise, alpha], hyp_i = [maxm, minm]) created once per sweep, so LAMBDA hot-reload
 (fixedL.cc:550-559) and per-sweep schedules never retrace.
 """
 
@@ -87,6 +87,12 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                               npass=npass, fast=False, check_r0=check_r0)
     else:
         raise ValueError(f"method {method!r} not recognized")
+
+    # bond-update damping (the reference's reserved `alpha` input, README.md:76,
+    # realized as the standard DMRG mixing parameter): blend the solver output
+    # with the incoming bond.  alpha=1 is the undamped reference behavior.
+    alpha = hyp_f[5]
+    cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
 
     if use_noise:
         env, env_s = (LE, lsc) if iso_left else (RE, rsc)
