@@ -24,7 +24,7 @@ X = featurize(tr.images, FEATURE_SERIES, d=2)
 Xte = featurize(te.images, FEATURE_SERIES, d=2)
 cfg = FixedLConfig(nsweep=nsweep, maxm=max(ramp), cutoff=1e-10, lam=lam, alpha=alpha,
                    npass=npass, cconv=cconv, method="fast_conj_exact",
-                   label_mode="moving", pad=max(ramp), maxm_schedule=ramp,
+                   label_mode="moving", pad=max(ramp), maxm_schedule=ramp, env_dtype="bf16",
                    report_cost=True)
 wd = tempfile.mkdtemp(prefix=f"qexp_{tag}_")
 model = FixedLModel.initialize(X, tr.labels, cfg, workdir=wd, verbose=False)

@@ -394,3 +394,15 @@ def test_alpha_damping_fused():
     h1, h1b, h5 = run(1.0), run(1.0), run(0.5)
     assert h1[-1].cost == h1b[-1].cost
     assert h5[-1].cost != h1[-1].cost
+
+
+def test_config_env_dtype_plumbing():
+    """FixedLConfig.env_dtype/mxu_dtype strings map to jnp dtypes on the engine."""
+    from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
+    W, X, labels = make_problem(n=6, batch=10, label_site=2)
+    cfg = FixedLConfig(env_dtype="bf16", mxu_dtype="bf16", pad=8)
+    eng = FixedLModel(W).make_engine(X, labels, cfg)
+    assert eng.env_dtype == jnp.bfloat16 and eng.mxu_dtype == jnp.bfloat16
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not recognized"):
+        FixedLConfig(env_dtype="f8")._dtype("f8")

@@ -55,6 +55,8 @@ def main(argv=None) -> int:
         replace=cfg.get_yesno("replace", False),
         keep_best=cfg.get_yesno("keep_best", False),
         maxm_schedule=_parse_schedule(cfg.get_string("maxm_schedule", "")),
+        env_dtype=cfg.get_string("env_dtype", "") or None,
+        mxu_dtype=cfg.get_string("mxu_dtype", "") or None,
     )
 
     if fl.maxm_schedule:

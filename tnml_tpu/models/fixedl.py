@@ -98,6 +98,20 @@ class FixedLConfig:
     keep_best: bool = False    # keep the per-sweep checkpoint with the lowest
                                # training cost instead of the last one (sweep-to-
                                # sweep cost can oscillate at aggressive settings)
+    env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 (the full
+                                      # 58,862-image set needs this on 16 GB HBM)
+    mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
+
+    @staticmethod
+    def _dtype(name):
+        if name is None:
+            return None
+        import jax.numpy as _jnp
+        m = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+             "f32": _jnp.float32, "float32": _jnp.float32}
+        if name not in m:
+            raise ValueError(f"dtype {name!r} not recognized (bf16|f32)")
+        return m[name]
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
@@ -158,6 +172,8 @@ class FixedLModel:
                            npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
                            replace=cfg.replace,
+                           env_dtype=cfg._dtype(cfg.env_dtype),
+                           mxu_dtype=cfg._dtype(cfg.mxu_dtype),
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
 
