@@ -238,7 +238,8 @@ class SweepEngine:
             check_r0=(self.label_site is None), report=self.report_cost,
             use_noise=(self.noise >= 1e-14), ntarget=self.ntarget,
             env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
-            svd_method=self.svd_method, replace=self.replace)
+            svd_method=self.svd_method, replace=self.replace,
+            damp=(self.alpha != 1.0))
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env.put(b if direction > 0 else b + 1, (env_arr, env_sig))
         if self.label_mode == "moving":
@@ -396,7 +397,8 @@ class SweepEngine:
         common = dict(method=self.method, npass=self.npass,
                       check_r0=(self.label_site is None),
                       report=self.report_cost, env_dtype=self.env_dtype,
-                      mxu_dtype=self.mxu_dtype, svd_method=self.svd_method)
+                      mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
+                      damp=(self.alpha != 1.0))
         for sw in range(sweeps.nsweep):
             maxm = int(sweeps.maxm[sw])
             minm = int(sweeps.minm[sw])

@@ -78,7 +78,7 @@ def init_right_wings(cores, xs, env_dtype=None):
 
 @partial(jax.jit, static_argnames=("forward", "method", "npass", "check_r0",
                                    "report", "env_dtype", "mxu_dtype",
-                                   "svd_method"),
+                                   "svd_method", "damp"),
          donate_argnums=(1, 2, 3))
 def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                next_cores,        # [n_bonds, pad,d,pad] row t: core absorbed at bond t
@@ -87,7 +87,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                Y, labels, hyp_f, hyp_i,
                forward: bool, method: str, npass: int, check_r0: bool,
                report: bool, env_dtype=None, mxu_dtype=None,
-               svd_method: str = "gram"):
+               svd_method: str = "gram", damp: bool = False):
     """One fused half-sweep over bonds 0..n_bonds-1 (forward) or reversed.
 
     The bond-aligned stacks live in the fori_loop CARRY and are updated in place:
@@ -127,9 +127,11 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"))
-        # bond-update damping (engine.alpha -> hyp_f[5]); alpha=1 is undamped
-        alpha = hyp_f[5]
-        cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
+        if damp:
+            # bond-update damping (engine.alpha -> hyp_f[5]); statically gated
+            # so the default alpha=1 sweep emits no extra ops
+            alpha = hyp_f[5]
+            cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
         nwl, nwr, rank, truncerr = bond_ops.split_bond(
             cg.B5, cutoff, maxm, minm, label_leg=label_leg,
             iso_left=forward, method=svd_method)

@@ -38,13 +38,14 @@ def stats_len(npass: int) -> int:
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
                                    "check_r0", "report", "use_noise", "ntarget",
                                    "env_dtype", "mxu_dtype", "svd_method",
-                                   "replace"))
+                                   "replace", "damp"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i, key,
                     label_leg: str, iso_left: bool, method: str, npass: int,
                     check_r0: bool, report: bool, use_noise: bool = False,
                     ntarget: int = 10, env_dtype=None, mxu_dtype=None,
-                    svd_method: str = "gram", replace: bool = False):
+                    svd_method: str = "gram", replace: bool = False,
+                    damp: bool = False):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
@@ -88,11 +89,14 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
     else:
         raise ValueError(f"method {method!r} not recognized")
 
-    # bond-update damping (the reference's reserved `alpha` input, README.md:76,
-    # realized as the standard DMRG mixing parameter): blend the solver output
-    # with the incoming bond.  alpha=1 is the undamped reference behavior.
-    alpha = hyp_f[5]
-    cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
+    if damp:
+        # bond-update damping (the reference's reserved `alpha` input,
+        # README.md:76, realized as the standard DMRG mixing parameter): blend
+        # the solver output with the incoming bond.  Statically gated so the
+        # default alpha=1 path emits no extra ops and keeps B5 dead after the
+        # solve (it would otherwise stay live across the split).
+        alpha = hyp_f[5]
+        cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
 
     if use_noise:
         env, env_s = (LE, lsc) if iso_left else (RE, rsc)
