@@ -57,10 +57,22 @@ def main(argv=None) -> int:
         maxm_schedule=_parse_schedule(cfg.get_string("maxm_schedule", "")),
         env_dtype=cfg.get_string("env_dtype", "") or None,
         mxu_dtype=cfg.get_string("mxu_dtype", "") or None,
+        svd_method=cfg.get_string("svd_method", "gram"),
+        dotest=cfg.get_yesno("dotest", False),
+        profile_dir=cfg.get_string("profile", "") or None,
+        pause_step=cfg.get_yesno("pause_step", False),
     )
 
     if fl.maxm_schedule:
         fl.maxm = max(fl.maxm, max(fl.maxm_schedule))
+
+    if fl.alpha != 1.0:
+        # the reference parses `alpha` but never uses it (fixedL.cc:605); here it
+        # is REALIZED as bond-update damping — warn so a config ported verbatim
+        # from the reference is not silently slowed down by its dead default
+        print(f"NOTE: alpha = {fl.alpha} is live in tnml-tpu (bond-update damping "
+              f"B <- (1-alpha)*B0 + alpha*B_cg); the reference reads but ignores "
+              f"this parameter.")
 
     feature = cfg.get_string("feature", "series")
     X, labels = common.load_features(cfg, TRAIN, feature, d=d)
@@ -74,6 +86,12 @@ def main(argv=None) -> int:
     if ndp:
         from tnml_tpu.parallel.mesh import DataParallel, make_mesh
         sharding = DataParallel(make_mesh(ndp))
+        # the batch axis must divide the mesh; pad with inert zero-feature rows
+        nb = X.shape[0]
+        X, labels = sharding.pad_dataset(X, labels)
+        if X.shape[0] != nb:
+            print(f"[dp] padded batch {nb} -> {X.shape[0]} "
+                  f"(multiple of {sharding.n} devices)")
 
     # Nbatch > 1 is the reference's out-of-core memory knob (README.md:77);
     # the TPU analog demotes cold wings to host RAM ('host') or the native
@@ -90,12 +108,22 @@ def main(argv=None) -> int:
         fl_env_note = f"[tnml] wing offload: {offload}"
         print(fl_env_note)
 
+    # dotest = yes: per-sweep held-out evaluation (in-training fulltest); with
+    # keep_best the best-test-accuracy sweep checkpoint is the one kept
+    test_data = None
+    if fl.dotest:
+        from tnml_tpu.data.mnist import TEST
+        ntest = cfg.get_int("Ntest", 10000)
+        Xte, lte = common.load_features(cfg, TEST, feature, nt=ntest, d=d)
+        test_data = (Xte, lte)
+        print(f"dotest: evaluating {Xte.shape[0]} held-out images per sweep")
+
     # log = sweep (default) | bond: 'bond' replays the reference's full per-bond
     # report (fixedL.cc:490-533) from the bulk-fetched stats
     verbose = "bond" if cfg.get_string("log", "sweep") == "bond" else True
     model = FixedLModel.initialize(X, labels, fl, workdir=".")
     model.train(X, labels, fl, workdir=".", sharding=sharding, verbose=verbose,
-                env_store=env_store)
+                env_store=env_store, test_data=test_data)
     print("Writing W to disk")
     model.save("W")
     return 0

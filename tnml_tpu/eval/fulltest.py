@@ -14,36 +14,85 @@ Decision rules are reference-exact: weights = |P| per label, predict argmax
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from tnml_tpu.mps.core import MPS
 from tnml_tpu.mps.pack import PackedMPS, pack
 from tnml_tpu.train.env import edge_env, env_extend
-from tnml_tpu.train.step import split_sites
+
+
+@jax.jit
+def _scan_plain(arr, sig, cores, xs):
+    """Sweep a [B,K,m] wing through stacked label-free cores in ONE scan call.
+
+    ``cores``: [k, m, d, m]; ``xs``: [k, d, B].  Same per-site math and log-scale
+    hygiene as env_extend(fromleft=True)."""
+
+    def body(state, inp):
+        a, s = state
+        core, x = inp
+        out = jnp.einsum("bka,bs,asr->bkr", a, x.T, core,
+                         preferred_element_type=jnp.float32)
+        mx = jnp.max(jnp.abs(out), axis=(1, 2))
+        safe = jnp.where(mx > 0, mx, 1.0)
+        return (out / safe[:, None, None], s + jnp.log(safe)), None
+
+    (arr, sig), _ = lax.scan(body, (arr, sig), (cores, xs))
+    return arr, sig
+
+
+@jax.jit
+def _contract_labeled(pre, wlab, post, xs_pre, x_lab, xs_post, edge_arr, edge_sig):
+    """Full left-to-right contraction of a labeled MPS against a batch: two scan
+    segments around the label core.  One device call for the whole test set."""
+    from tnml_tpu.train.env import unsqueeze_env
+    arr, sig = _scan_plain(unsqueeze_env(edge_arr), edge_sig, pre, xs_pre)
+    out = jnp.einsum("bka,bs,asrl->bklr", arr, x_lab.T, wlab,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(out.shape[0], -1, out.shape[-1])
+    mx = jnp.max(jnp.abs(out), axis=(1, 2))
+    safe = jnp.where(mx > 0, mx, 1.0)
+    arr, sig = out / safe[:, None, None], sig + jnp.log(safe)
+    arr, sig = _scan_plain(arr, sig, post, xs_post)
+    return arr[:, :, 0], sig
 
 
 def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
     """Contract the MPS against every image: returns (P [B, L or 1], logscale [B]).
 
     True model outputs are ``P * exp(logscale)[:, None]``; argmax decisions are
-    scale-free per image.
+    scale-free per image.  Fused: the whole test-set contraction is at most three
+    device calls (scan | label core | scan), not N sequential env_extend dispatches.
     """
+    from tnml_tpu.utils.precision import configure_matmul_precision
+    configure_matmul_precision()
     if X.shape[1] != packed.n:
         raise ValueError("X length mismatch")
     nb = X.shape[0]
     xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))), dtype=dtype)
-    xsites = split_sites(xs, packed.n)
-    state = edge_env(nb, packed.pad, dtype)
-    for j in range(packed.n):
-        state = env_extend(state[0], state[1], xsites[j], packed.cores[j],
-                           fromleft=True)
+    return _contract_packed(packed, xs, nb, dtype)
+
+
+def _contract_packed(packed: PackedMPS, xs, nb: int, dtype=jnp.float32):
     from tnml_tpu.train.env import unsqueeze_env
-    arr, sig = state
-    # right edge: bond index 0 holds the scalar(s)
-    return unsqueeze_env(arr)[:, :, 0], sig
+    ls = packed.label_site
+    edge = edge_env(nb, packed.pad, dtype)
+    if ls is None:
+        cores = jnp.stack(packed.cores)
+        arr, sig = _scan_plain(unsqueeze_env(edge[0]), edge[1], cores, xs)
+        return arr[:, :, 0], sig
+    pre = jnp.stack(packed.cores[:ls]) if ls > 0 else \
+        jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
+    post = jnp.stack(packed.cores[ls + 1:]) if ls + 1 < packed.n else \
+        jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
+    return _contract_labeled(pre, packed.cores[ls], post,
+                             xs[:ls], xs[ls], xs[ls + 1:], edge[0], edge[1])
 
 
 @dataclass
@@ -111,21 +160,17 @@ class Evaluator:
     """
 
     def __init__(self, X: np.ndarray, labels: np.ndarray, dtype=jnp.float32):
-        xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))),
-                         dtype=dtype)
-        from tnml_tpu.train.step import split_sites
-        self.xsites = split_sites(xs, int(xs.shape[0]))
+        from tnml_tpu.utils.precision import configure_matmul_precision
+        configure_matmul_precision()
+        self.xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))),
+                              dtype=dtype)
+        self.dtype = dtype
         self.labels = np.asarray(labels)
         self.nb = X.shape[0]
 
     def evaluate(self, packed: PackedMPS) -> TestReport:
-        state = edge_env(self.nb, packed.pad, self.xsites[0].dtype)
-        for j in range(packed.n):
-            state = env_extend(state[0], state[1], self.xsites[j],
-                               packed.cores[j], fromleft=True)
-        from tnml_tpu.train.env import unsqueeze_env
-        P = np.asarray(unsqueeze_env(state[0])[:, :, 0])
-        return _report(np.abs(P), self.labels)
+        P, _ = _contract_packed(packed, self.xs, self.nb, self.dtype)
+        return _report(np.abs(np.asarray(P)), self.labels)
 
 
 def separate_full_test(ws: Sequence[MPS], X: np.ndarray,

@@ -56,7 +56,17 @@ def save_mps(path: str, mps: MPS) -> None:
 
 def load_mps(path: str) -> MPS:
     with open(path, "rb") as f:
-        z = np.load(io.BytesIO(f.read()))
+        raw = f.read()
+    # npz payloads are zip files ("PK\x03\x04").  The reference writes ITensor
+    # binary under the SAME extensionless names ("W", "sites") — catch a mixed
+    # workdir with a clear message instead of a cryptic numpy error.
+    if not raw.startswith(b"PK"):
+        raise ValueError(
+            f"{path}: not a tnml-tpu checkpoint (npz). This looks like a file "
+            f"from another toolchain (e.g. an ITensor binary written by the "
+            f"reference C++ programs) — tnml-tpu cannot read those; retrain or "
+            f"start from a clean workdir.")
+    z = np.load(io.BytesIO(raw))
     n = int(z["n"])
     ls = int(z["label_site"])
     cores = [z[f"core_{j:05d}"] for j in range(n)]

@@ -33,6 +33,15 @@ def center_site(n: int) -> int:
     return n // 2 - 1
 
 
+def _sweep_annotation(profile_dir, sw: int):
+    """Profiler step annotation per sweep; no-op when not profiling."""
+    if not profile_dir:
+        import contextlib
+        return contextlib.nullcontext()
+    import jax.profiler as _prof
+    return _prof.StepTraceAnnotation("sweep", step_num=sw)
+
+
 def cold_start(X: np.ndarray, labels: np.ndarray, *, ninitial: int = 100,
                n_labels: int = 10, seed: int = 0, verbose: bool = True) -> MPS:
     """Init path (c): sums of random same-label product states (fixedL.cc:703-728)."""
@@ -95,12 +104,19 @@ class FixedLConfig:
     label_mode: str = "fixed"         # 'fixed' (reference) | 'moving' (paper; all
                                       # wings label-free -> 10x less env memory)
     maxm_schedule: Optional[List[int]] = None   # per-sweep maxm ramp (then hold)
-    keep_best: bool = False    # keep the per-sweep checkpoint with the lowest
-                               # training cost instead of the last one (sweep-to-
-                               # sweep cost can oscillate at aggressive settings)
+    keep_best: bool = False    # keep the best per-sweep checkpoint instead of the
+                               # last one: best held-out accuracy when a test set is
+                               # provided (dotest), else lowest training cost
+    dotest: bool = False       # evaluate the held-out set after every sweep
+                               # (in-training fulltest, `dotest` input parameter)
     env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 (the full
                                       # 58,862-image set needs this on 16 GB HBM)
     mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
+    svd_method: str = "gram"   # bond split: 'gram' (fast TPU eigh path) | 'svd'
+    profile_dir: Optional[str] = None  # write a jax.profiler trace (xprof/
+                                       # tensorboard format) covering the sweeps
+    pause_step: bool = False   # interactive per-bond gate (the reference's
+                               # pause_step PAUSE macro, fixedL.cc:561,597)
 
     @staticmethod
     def _dtype(name):
@@ -174,13 +190,23 @@ class FixedLModel:
                            replace=cfg.replace,
                            env_dtype=cfg._dtype(cfg.env_dtype),
                            mxu_dtype=cfg._dtype(cfg.mxu_dtype),
+                           svd_method=cfg.svd_method,
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
 
     def train(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
               workdir: Optional[str] = ".", sharding=None, verbose: bool = True,
-              per_sweep_hook=None, env_store=None):
-        """Full mldmrg run with per-sweep checkpointing and control-file polling."""
+              per_sweep_hook=None, env_store=None, test_data=None):
+        """Full mldmrg run with per-sweep checkpointing and control-file polling.
+
+        ``test_data=(X_test, labels_test)`` enables per-sweep held-out evaluation
+        (the in-training fulltest, `dotest`); with ``keep_best`` the checkpoint
+        with the best test accuracy is kept instead of the lowest-training-cost one.
+        """
+        evaluator = None
+        if test_data is not None:
+            from tnml_tpu.eval.fulltest import Evaluator
+            evaluator = Evaluator(test_data[0], test_data[1])
         eng = self.make_engine(X, labels, cfg, sharding=sharding,
                                env_store=env_store)
         # moving-label CG training runs scan-fused (its wing stacks replace the
@@ -198,6 +224,10 @@ class FixedLModel:
 
         def control_hook(b, direction):
             """Per-bond control-file polling (fixedL.cc:542-559)."""
+            if cfg.pause_step:
+                # the reference's interactive PAUSE gate (fixedL.cc:561): wait for
+                # Enter after each bond step is enqueued
+                input(f"PAUSE at bond {b + 1} (Enter to continue) ")
             if workdir is None:
                 return
             ctl = ckpt.poll_control_files(workdir)
@@ -210,20 +240,39 @@ class FixedLModel:
             if ctl.get("stop"):
                 stop[0] = True
 
+        # flag-gated jax.profiler trace (SURVEY.md §5 tracing row): one xprof
+        # artifact covering all sweeps, each annotated as a profiler "step"
+        import contextlib
+        prof_ctx = contextlib.nullcontext()
+        if cfg.profile_dir:
+            import jax.profiler as _prof
+            prof_ctx = _prof.trace(cfg.profile_dir)
+            if verbose:
+                print(f"[profile] writing jax.profiler trace to {cfg.profile_dir}")
         # fused mode polls control files per sweep instead of per bond
-        best_cost, best_w = float("inf"), None
-        for sw in range(cfg.nsweep):
-            maxm_sw = min(cfg.maxm_for_sweep(sw), eng.pad)
-            sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw), maxm_sw,
-                                      cfg.cutoff)
-            if fused:
-                history += eng.run_fused(sweeps1, verbose=verbose)
-                control_hook(0, +1)
-            else:
-                history += eng.run(sweeps1, per_bond_hook=control_hook,
-                                   verbose=verbose)
+        best_cost, best_acc, best_w = float("inf"), -1.0, None
+        with prof_ctx:
+          for sw in range(cfg.nsweep):
+            with _sweep_annotation(cfg.profile_dir, sw):
+                maxm_sw = min(cfg.maxm_for_sweep(sw), eng.pad)
+                sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw),
+                                          maxm_sw, cfg.cutoff)
+                if fused:
+                    history += eng.run_fused(sweeps1, verbose=verbose)
+                    control_hook(0, +1)
+                else:
+                    history += eng.run(sweeps1, per_bond_hook=control_hook,
+                                       verbose=verbose)
             self.w = unpack(eng.packed())
-            if cfg.keep_best and history and history[-1].cost == history[-1].cost:
+            if evaluator is not None:
+                rep = evaluator.evaluate(eng.packed())
+                if verbose:
+                    print(f"Sweep {sw + 1} test accuracy = "
+                          f"{rep.accuracy * 100.0:.2f}% "
+                          f"({rep.n_correct}/{rep.n_total})")
+                if cfg.keep_best and rep.accuracy > best_acc:
+                    best_acc, best_w = rep.accuracy, self.w
+            elif cfg.keep_best and history and history[-1].cost == history[-1].cost:
                 if history[-1].cost < best_cost:
                     best_cost, best_w = history[-1].cost, self.w
             if workdir is not None:
@@ -238,13 +287,20 @@ class FixedLModel:
                 new_pad = min(cfg.maxm, eng.pad * 2)
                 if verbose:
                     print(f"[pad] bond ranks reached {eng.pad}; repacking to {new_pad}")
-                eng = self.make_engine(X, labels, cfg, sharding=sharding, pad=new_pad)
+                # forward the env store (cleared: its wings have the old pad) so an
+                # out-of-core run stays out-of-core after the repack
+                if env_store is not None:
+                    env_store.clear()
+                eng = self.make_engine(X, labels, cfg, sharding=sharding,
+                                       pad=new_pad, env_store=env_store)
                 if not fused:
                     eng.init_envs()
         if cfg.keep_best and best_w is not None:
             if verbose:
-                print(f"[keep_best] restoring sweep checkpoint with cost/NT "
-                      f"{best_cost / eng.nt:.10f}")
+                what = (f"test accuracy {best_acc * 100.0:.2f}%"
+                        if evaluator is not None else
+                        f"cost/NT {best_cost / eng.nt:.10f}")
+                print(f"[keep_best] restoring sweep checkpoint with {what}")
             self.w = best_w
             if workdir is not None:
                 ckpt.save_mps(os.path.join(workdir, "W"), self.w)

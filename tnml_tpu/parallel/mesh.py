@@ -58,6 +58,25 @@ class DataParallel:
         k = self.n
         return ((n + k - 1) // k) * k
 
+    def pad_dataset(self, X: np.ndarray, labels: np.ndarray):
+        """Pad (X, labels) so the batch divides the mesh size.
+
+        Pad rows are all-zero features with label -1: a zero φ vector contributes
+        exactly zero to every gradient/pAp/cost reduction (zero rows propagate
+        zeros through the wing contractions), and one_hot(-1) is the zero target,
+        so training numerics are bit-identical to the unpadded batch.  Only the
+        printed /NT denominators dilute, by < mesh_size rows.
+        """
+        n = X.shape[0]
+        m = self.pad_batch(n)
+        if m == n:
+            return X, labels
+        Xp = np.zeros((m,) + X.shape[1:], dtype=X.dtype)
+        Xp[:n] = X
+        lp = np.full((m,), -1, dtype=labels.dtype)
+        lp[:n] = labels
+        return Xp, lp
+
 
 @dataclass
 class TwoAxisParallel(DataParallel):

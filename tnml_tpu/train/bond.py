@@ -274,7 +274,31 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
         M = B5.transpose(0, 1, 2, 3, 4).reshape(a * s, t * r * J)
 
     rows, cols = M.shape
-    if method == "svd":
+    if method == "qr":
+        # QR of the tall side + SVD of the small square factor: backward-stable
+        # (does NOT square the condition number like the Gram path — f32-resolvable
+        # singular values go down to ~1e-7*s_max instead of ~3e-4*s_max), while the
+        # expensive decomposition shrinks from [rows, cols] to [k, k].  This is the
+        # accuracy-critical path for the near-degenerate fixed-label regime where
+        # the class signal rides on SMALL singular values.
+        if rows <= cols:
+            Q, R = jnp.linalg.qr(M.T)               # M = R^T Q^T
+            U2, sv, Vt2 = jnp.linalg.svd(R.T)       # [rows, rows]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+            Um = U2 * mask[None, :]
+            Vm = (Vt2 * mask[:, None]) @ Q.T
+        else:
+            Q, R = jnp.linalg.qr(M)
+            U2, sv, Vt2 = jnp.linalg.svd(R)         # [cols, cols]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+            Um = Q @ (U2 * mask[None, :])
+            Vm = Vt2 * mask[:, None]
+        svm = sv * mask
+        if iso_left:
+            left_m, right_m = Um, svm[:, None] * Vm
+        else:
+            left_m, right_m = Um * svm[None, :], Vm
+    elif method == "svd":
         U, sv, Vt = jnp.linalg.svd(M, full_matrices=False)
         rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
         Um = U * mask[None, :]
@@ -314,7 +338,7 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
             else:
                 left_m, right_m = MV, Vm.T
     else:
-        raise ValueError(f"split method {method!r} not recognized (gram|svd)")
+        raise ValueError(f"split method {method!r} not recognized (gram|qr|svd)")
     k = sv.shape[0]
 
     # pad/trim the new bond to `pad`

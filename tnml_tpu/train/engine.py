@@ -79,6 +79,11 @@ class SweepEngine:
                  env_store=None,     # DeviceEnvStore (default) or OffloadEnvStore
                  x_site_major: bool = False,   # X already [N, B, d] on device
                  sharding=None):
+        # true-f32 contractions (TPU DEFAULT rounds f32 operands to bf16, which
+        # stalls the near-degenerate reference regime — utils/precision.py);
+        # explicit bf16 fast paths (mxu_dtype/env_dtype) are unaffected
+        from tnml_tpu.utils.precision import configure_matmul_precision
+        configure_matmul_precision()
         n_axis = 0 if x_site_major else 1
         if X.ndim != 3 or X.shape[n_axis] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")

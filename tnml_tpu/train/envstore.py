@@ -103,21 +103,26 @@ class OffloadEnvStore(DeviceEnvStore):
                 self._host[k] = host
 
     def _push_spool(self, k: int, host) -> None:
-        """Wings come in two sizes (labelled / plain); one spool file per size."""
+        """Wings come in two sizes (labelled / plain); one spool file per size.
+
+        Slots are keyed by SITE INDEX — the natural unique key — so recycling can
+        never overwrite a slot that another live site still references (a monotonic
+        counter mod n_slots could, once the chain outgrows the slot count)."""
         arr, sig = host
         flat = np.concatenate([arr.astype(np.float32).ravel(),
                                sig.astype(np.float32).ravel()])
         size_key = 4 * flat.size
         if size_key not in self._spools:
+            n_slots = max(4096, k + 1)
             spool = self._native.Spool(
                 os.path.join(self._spool_dir, f"wings.{size_key}.spool"),
-                4096, size_key)
+                n_slots, size_key)
             self._spools[size_key] = (spool, 0)
-        spool, nxt = self._spools[size_key]
-        slot = nxt % spool.n_slots
-        self._spools[size_key] = (spool, nxt + 1)
-        spool.write(slot, flat)
-        self._spool_meta[k] = (size_key, slot, arr.shape, arr.dtype, sig.shape)
+        spool, _ = self._spools[size_key]
+        if k >= spool.n_slots:
+            raise RuntimeError(f"site index {k} exceeds spool slots {spool.n_slots}")
+        spool.write(k, flat)
+        self._spool_meta[k] = (size_key, k, arr.shape, arr.dtype, sig.shape)
 
     def __contains__(self, j: int) -> bool:
         return j in self._d or j in self._host or j in self._spool_meta

@@ -1,0 +1,42 @@
+"""Matmul precision policy for TPU.
+
+On TPU, JAX's DEFAULT matmul precision computes float32 contractions by rounding the
+operands to bfloat16 (one MXU pass, f32 accumulation) — an 8-bit mantissa.  The MPS
+classifier's flagship regime (series map + double-/255, fixedL.cc:637-642) is nearly
+degenerate: per-pixel features are [1, x/4] with x <= 1/255, so the class signal
+lives in tiny differences between near-identical product states.  Rounding operands
+to bf16 destroys that signal — measured: the reference smoke config stalls at ~15%
+train accuracy under DEFAULT precision but converges under full-f32 contractions
+(see tests/test_engine.py and STATUS.md round-2 notes).
+
+The framework therefore defaults every *implicit-precision* matmul to "highest"
+(true f32, bf16_6x passes on the MXU).  Throughput paths opt back into bf16
+explicitly via ``mxu_dtype=bf16`` / ``env_dtype=bf16`` — explicit bf16 operands are
+a single exact MXU pass and are unaffected by this setting.
+
+Override with TNML_MATMUL_PRECISION = default | high | highest (or any value
+jax_default_matmul_precision accepts, e.g. bfloat16_3x).
+"""
+
+from __future__ import annotations
+
+import os
+
+_configured = [None]
+
+
+def configure_matmul_precision(mode: str | None = None) -> str:
+    """Set jax_default_matmul_precision once per process (idempotent).
+
+    Called from the sweep engine, the evaluators, and every CLI app; the env var
+    TNML_MATMUL_PRECISION wins over the ``mode`` argument.
+    """
+    import jax
+
+    mode = os.environ.get("TNML_MATMUL_PRECISION") or mode or "highest"
+    if _configured[0] == mode:
+        return mode
+    if mode != "default":
+        jax.config.update("jax_default_matmul_precision", mode)
+    _configured[0] = mode
+    return mode
