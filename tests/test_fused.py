@@ -58,8 +58,9 @@ def test_fused_single_model():
     assert np.abs(outs[~tgt]).mean() < 0.4
 
 
-def test_fused_rejects_fixed_mode():
-    W, X, labels = make_problem(n=6, batch=4, label_site=3)
+def test_fused_rejects_edge_fixed_label():
+    # a fixed label at the chain edge leaves an empty scan segment: per-bond only
+    W, X, labels = make_problem(n=6, batch=4, label_site=1)
     eng = SweepEngine(pack(W, pad=8), X, labels)
     with pytest.raises(ValueError, match="fused"):
         eng.run_fused(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)

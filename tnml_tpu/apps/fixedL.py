@@ -58,6 +58,7 @@ def main(argv=None) -> int:
         env_dtype=cfg.get_string("env_dtype", "") or None,
         mxu_dtype=cfg.get_string("mxu_dtype", "") or None,
         svd_method=cfg.get_string("svd_method", "gram"),
+        precision=cfg.get_string("precision", "") or None,
         dotest=cfg.get_yesno("dotest", False),
         profile_dir=cfg.get_string("profile", "") or None,
         pause_step=cfg.get_yesno("pause_step", False),

@@ -112,7 +112,10 @@ class FixedLConfig:
     env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 (the full
                                       # 58,862-image set needs this on 16 GB HBM)
     mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
-    svd_method: str = "gram"   # bond split: 'gram' (fast TPU eigh path) | 'svd'
+    svd_method: str = "gram"   # bond split: 'gram' (fast TPU eigh path) | 'qr' | 'svd'
+    precision: Optional[str] = None   # matmul precision: None -> 'highest' (true
+                                      # f32, correctness-first); 'default'/'high'
+                                      # trade mantissa for MXU speed (engine.py)
     profile_dir: Optional[str] = None  # write a jax.profiler trace (xprof/
                                        # tensorboard format) covering the sweeps
     pause_step: bool = False   # interactive per-bond gate (the reference's
@@ -190,9 +193,33 @@ class FixedLModel:
                            replace=cfg.replace,
                            env_dtype=cfg._dtype(cfg.env_dtype),
                            mxu_dtype=cfg._dtype(cfg.mxu_dtype),
-                           svd_method=cfg.svd_method,
+                           svd_method=cfg.svd_method, precision=cfg.precision,
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
+
+    def _use_fused(self, eng, cfg: FixedLConfig, verbose=False) -> bool:
+        """Scan-fused sweeps whenever the method allows it.  The fixed-label
+        layout's far-wing buffer is 10x wider than the moving mode's; fall back
+        to the per-bond engine (with its offload-capable env table) when it
+        would not fit device memory (TNML_FUSED_FIXED_MAX_BYTES, default 10 GB).
+        """
+        if cfg.method not in ("conj", "fast_conj", "fast_conj_exact"):
+            return False
+        if cfg.label_mode == "moving":
+            return True
+        if not eng._fused_supported():
+            return False
+        c, n = eng.label_site, eng.n
+        rows = max(c - 1, n - 2 - c)
+        itemsize = 2 if cfg.env_dtype in ("bf16", "bfloat16") else 4
+        need = rows * eng.nt * 10 * eng.pad * itemsize
+        limit = float(os.environ.get("TNML_FUSED_FIXED_MAX_BYTES", 10e9))
+        if need >= limit:
+            if verbose:
+                print(f"[fused] labeled wing buffer would need {need / 1e9:.1f} "
+                      f"GB (> {limit / 1e9:.1f} GB); using the per-bond engine")
+            return False
+        return True
 
     def train(self, X: np.ndarray, labels: np.ndarray, cfg: FixedLConfig,
               workdir: Optional[str] = ".", sharding=None, verbose: bool = True,
@@ -209,10 +236,9 @@ class FixedLModel:
             evaluator = Evaluator(test_data[0], test_data[1])
         eng = self.make_engine(X, labels, cfg, sharding=sharding,
                                env_store=env_store)
-        # moving-label CG training runs scan-fused (its wing stacks replace the
-        # per-bond env table entirely — building both would double HBM)
-        fused = (cfg.label_mode == "moving"
-                 and cfg.method in ("conj", "fast_conj", "fast_conj_exact"))
+        # CG training runs scan-fused; the fixed-label layout additionally needs
+        # its 10x-wide labeled wing buffer to fit HBM (see _use_fused)
+        fused = self._use_fused(eng, cfg, verbose)
         if not fused:
             eng.init_envs()
             if verbose:
@@ -293,6 +319,7 @@ class FixedLModel:
                     env_store.clear()
                 eng = self.make_engine(X, labels, cfg, sharding=sharding,
                                        pad=new_pad, env_store=env_store)
+                fused = self._use_fused(eng, cfg, verbose)  # pad grew: re-check
                 if not fused:
                     eng.init_envs()
         if cfg.keep_best and best_w is not None:

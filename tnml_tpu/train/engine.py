@@ -43,6 +43,7 @@ class BondStats:
     newm: int
     truncerr: float
     cost: float            # quadcost after SVD (sum over images, incl. reg)
+    cost_pre: float        # quadcost of the optimizer output BEFORE the split
     ncorrect: int
     reg: float
     aux: float             # method-specific (pinv: cost of the sketched solution)
@@ -78,12 +79,16 @@ class SweepEngine:
                  svd_method: str = "gram",   # 'gram' (fast TPU path) | 'svd'
                  env_store=None,     # DeviceEnvStore (default) or OffloadEnvStore
                  x_site_major: bool = False,   # X already [N, B, d] on device
+                 precision: Optional[str] = None,  # matmul precision: None ->
+                                     # 'highest' (true f32; TPU DEFAULT rounds f32
+                                     # operands to bf16, which stalls the near-
+                                     # degenerate reference regime — see
+                                     # utils/precision.py). 'default'/'high' trade
+                                     # accuracy for MXU throughput; quality-verified
+                                     # for the moving-label mode at scale.
                  sharding=None):
-        # true-f32 contractions (TPU DEFAULT rounds f32 operands to bf16, which
-        # stalls the near-degenerate reference regime — utils/precision.py);
-        # explicit bf16 fast paths (mxu_dtype/env_dtype) are unaffected
         from tnml_tpu.utils.precision import configure_matmul_precision
-        configure_matmul_precision()
+        self.precision = configure_matmul_precision(precision)
         n_axis = 0 if x_site_major else 1
         if X.ndim != 3 or X.shape[n_axis] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
@@ -263,6 +268,13 @@ class SweepEngine:
 
     # -- full training loop ------------------------------------------------------
 
+    @staticmethod
+    def svd_regressed(st: BondStats) -> bool:
+        """The reference's truncation-regression check: cost after the SVD split
+        more than 10% above the optimizer's pre-split cost (fixedL.cc:523-533)."""
+        return (st.cost == st.cost and st.cost_pre == st.cost_pre
+                and st.cost > 1.1 * st.cost_pre)
+
     def print_bond_report(self, st: BondStats) -> None:
         """Reference-style per-bond report (fixedL.cc:490,510,523-533)."""
         ha = 1 if st.direction > 0 else 2
@@ -283,6 +295,12 @@ class SweepEngine:
                 print(f"Percent correct = {ncor * 100.0 / self.nt:.4f}%, "
                       f"# incorrect = {self.nt - ncor}/{self.nt}")
             print(f"--> After SVD, Cost = {st.cost / self.nt:.10f}")
+            if self.svd_regressed(st):
+                # truncation undid the optimizer's gain at this bond
+                # (fixedL.cc:523-533 check)
+                print("WARNING: cost more than 10% larger after SVD "
+                      f"({st.cost_pre / self.nt:.10f} -> "
+                      f"{st.cost / self.nt:.10f})")
 
     def run(self, sweeps: Sweeps,
             callback: Optional[Callable[[BondStats], None]] = None,
@@ -326,14 +344,18 @@ class SweepEngine:
                     callback(st)
             if verbose:
                 last = history[-1]
+                nb = 2 * (self.n - 1)
                 msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
-                       f"({2 * (self.n - 1)} bonds, "
-                       f"{dt / (2 * (self.n - 1)) * 1e3:.1f} ms/bond), "
+                       f"({nb} bonds, "
+                       f"{dt / nb * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
                 if self.report_cost:
                     msg += f", cost/NT {last.cost / self.nt:.10f}"
                     if self.label_site is not None:
                         msg += f", correct {last.ncorrect}/{self.nt}"
+                    nwarn = sum(map(self.svd_regressed, history[-nb:]))
+                    if nwarn:
+                        msg += f", svd-regressed bonds {nwarn}"
                 print(msg)
         return history
 
@@ -345,6 +367,7 @@ class SweepEngine:
             newm=origm if replaced else int(vec[step_ops.S_RANK]),
             truncerr=float(vec[step_ops.S_TRUNCERR]),
             cost=float(vec[step_ops.S_COST]),
+            cost_pre=float(vec[step_ops.S_COST_PRE]),
             ncorrect=int(vec[step_ops.S_NCOR]),
             reg=float(vec[step_ops.S_REG]),
             aux=float(vec[step_ops.S_AUX]),
@@ -356,10 +379,13 @@ class SweepEngine:
             cg_rnorms=vec[step_ops.S_CG + npass:step_ops.S_CG + 2 * npass].copy(),
         )
 
-    # -- scan-fused sweeps (moving-label / single families) -----------------------
+    # -- scan-fused sweeps (all families) -----------------------------------------
 
     def _fused_supported(self) -> bool:
-        return self.label_mode == "moving" or self.label_site is None
+        if self.label_mode == "moving" or self.label_site is None:
+            return True
+        # fixed label: both scan segments must be non-empty
+        return 2 <= self.label_site <= self.n - 3
 
     def _fused_init(self):
         """Set up the stacked ping-pong state for run_fused."""
@@ -385,15 +411,19 @@ class SweepEngine:
         }
 
     def run_fused(self, sweeps: Sweeps, verbose: bool = True) -> List[BondStats]:
-        """Full sweeps, two scan calls per sweep (segment.half_sweep)."""
+        """Full sweeps as a handful of fused device calls each: two scan calls for
+        the uniform families (segment.half_sweep), 4 scans + 4 center bonds for
+        the fixed-label layout (segment_fixed)."""
         import jax.numpy as jnp
         from tnml_tpu.train import segment as seg_ops
 
         if not self._fused_supported():
-            raise ValueError("fused sweeps support moving-label/single models; "
-                             "use run() for the fixed-label mode")
+            raise ValueError("fused sweeps need a moving-label/single model or an "
+                             "interior fixed label (2 <= c <= N-3)")
         if self.noise >= 1e-14 or self.method in ("exact", "pinv"):
             raise ValueError("fused sweeps support the CG methods without noise")
+        if self.label_mode == "fixed" and self.label_site is not None:
+            return self._run_fused_fixed(sweeps, verbose=verbose)
         if not hasattr(self, "_fs"):
             self._fused_init()
         fs = self._fs
@@ -447,6 +477,9 @@ class SweepEngine:
                     msg += f", cost/NT {last.cost / self.nt:.10f}"
                     if self.label_site is not None:
                         msg += f", correct {last.ncorrect}/{self.nt}"
+                    nwarn = sum(map(self.svd_regressed, history[-n_bonds:]))
+                    if nwarn:
+                        msg += f", svd-regressed bonds {nwarn}"
                 print(msg)
         self._fused_writeback()
         return history
@@ -465,6 +498,175 @@ class SweepEngine:
         nxt = np.asarray(fs["next_cores"])   # one bulk fetch, then host slices
         for j in range(1, self.n):
             self.cores[j] = nxt[j - 1]
+
+    # -- scan-fused sweeps, FIXED-label layout (segment_fixed.py) -----------------
+
+    def _fused_init_fixed(self):
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_fixed as segf
+
+        c = self.label_site
+        # site-aligned plain core stack; the label core (rank 4) rides separately
+        zeros = jnp.zeros_like(self.cores[0 if c != 0 else 1])
+        rows = [self.cores[j] if j != c else zeros for j in range(self.n)]
+        cores_st = jnp.stack(rows)
+        xs = jnp.stack(self.Xsites)
+        lab_buf, lab_sig, pl_buf, pl_sig = segf.init_fixed_wings(
+            cores_st, self.cores[c], xs, self.nt, c, env_dtype=self.env_dtype)
+        self._fsx = {
+            "trav": self.cores[0], "cores_st": cores_st,
+            "label_core": self.cores[c],
+            "lab_buf": lab_buf, "lab_sig": lab_sig,
+            "pl_buf": pl_buf, "pl_sig": pl_sig, "xs": xs,
+        }
+
+    def _run_fused_fixed(self, sweeps: Sweeps, verbose=True) -> List[BondStats]:
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_fixed as segf
+        from tnml_tpu.train.env import edge_env
+
+        if not hasattr(self, "_fsx"):
+            self._fused_init_fixed()
+        fx = self._fsx
+        n, c = self.n, self.label_site
+        common = dict(method=self.method, npass=self.npass,
+                      report=self.report_cost, env_dtype=self.env_dtype,
+                      mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
+                      damp=(self.alpha != 1.0))
+        history: List[BondStats] = []
+        for sw in range(sweeps.nsweep):
+            maxm = int(sweeps.maxm[sw])
+            minm = int(sweeps.minm[sw])
+            cutoff = float(sweeps.cutoff[sw])
+            if maxm > self.pad:
+                raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
+            self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            t0 = time.perf_counter()
+            visit = []
+            for forward in (True, False):
+                visit += self._fused_fixed_half(fx, forward, common)
+            fetched = np.asarray(jnp.stack([v[2] for v in visit]))
+            dt = time.perf_counter() - t0
+            for (b, direction, _), vec in zip(visit, fetched):
+                st = self._unpack_stats(sw + 1, b, direction,
+                                        int(self.ranks[b + 1]), vec)
+                self.ranks[b + 1] = st.newm
+                history.append(st)
+            if verbose:
+                last = history[-1]
+                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                       f"(fused-fixed, {len(visit)} bonds, "
+                       f"{dt / len(visit) * 1e3:.1f} ms/bond), "
+                       f"max m = {int(self.ranks.max())}")
+                if self.report_cost:
+                    msg += (f", cost/NT {last.cost / self.nt:.10f}"
+                            f", correct {last.ncorrect}/{self.nt}")
+                    nwarn = sum(map(self.svd_regressed, history[-len(visit):]))
+                    if nwarn:
+                        msg += f", svd-regressed bonds {nwarn}"
+                print(msg)
+        self._fused_writeback_fixed()
+        return history
+
+    def _fused_fixed_half(self, fx, forward: bool, common):
+        """One half-sweep: segA | bond c-1 | bond c | segB (forward) or the
+        mirror order (backward).  Returns [(bond, direction, stats_row), ...] in
+        visit order."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_fixed as segf
+        from tnml_tpu.train.env import edge_env
+
+        n, c = self.n, self.label_site
+        direction = 1 if forward else -1
+        e_arr, e_sig = edge_env(self.nt, self.pad, self.env_dtype or self.dtype)
+        e_arr, e_sig = self._shard(e_arr, 0), self._shard(e_sig, 0)
+        seg = lambda **kw: segf.fixed_segment(
+            fx["cores_st"], kw.pop("cur"), kw.pop("near_arr"),
+            kw.pop("near_sig"), kw.pop("far_buf"), kw.pop("emit_buf"),
+            kw.pop("emit_sig"), kw.pop("far_sig"), fx["xs"], self.Y,
+            self.labels, self._hyp_f, self._hyp_i, forward=forward,
+            **kw, **common)
+
+        def center(t, wl, wr, near_arr, near_sig, label_leg):
+            out = segf.center_step(
+                wl, wr, near_arr, near_sig, fx["pl_buf"], fx["pl_sig"],
+                self.Xsites[t], self.Xsites[t + 1], self.Y, self.labels,
+                self._hyp_f, self._hyp_i, t=t, label_leg=label_leg,
+                forward=forward, **common)
+            nwl, nwr, env_arr, env_sig, fx["pl_buf"], fx["pl_sig"], stats = out
+            return nwl, nwr, env_arr, env_sig, stats
+
+        visit = []
+        if forward:
+            rA = seg(cur=fx["trav"], near_arr=e_arr, near_sig=e_sig,
+                     far_buf=fx["lab_buf"], far_sig=fx["lab_sig"],
+                     emit_buf=fx["pl_buf"], emit_sig=fx["pl_sig"],
+                     t0=0, T=c - 1, far_off=0, emit_off=0)
+            fx["cores_st"], fx["pl_buf"], fx["pl_sig"] = (
+                rA.cores_st, rA.emit_buf, rA.emit_sig)
+            visit += [(t, direction, rA.stats[t]) for t in range(c - 1)]
+            # bond c-1: (plain, label) pair; label stays right
+            nwl, nwr, env_a, env_s, st1 = center(
+                c - 1, rA.cur_core, fx["label_core"], rA.near_arr, rA.near_sig,
+                "right")
+            fx["cores_st"] = fx["cores_st"].at[c - 1].set(nwl)
+            visit.append((c - 1, direction, st1))
+            # bond c: (label, plain) pair; label stays left; iso side = label core
+            nwl2, nwr2, env_a2, env_s2, st2 = center(
+                c, nwr, fx["cores_st"][c + 1], env_a, env_s, "left")
+            fx["label_core"] = nwl2
+            visit.append((c, direction, st2))
+            rB = seg(cur=nwr2, near_arr=env_a2, near_sig=env_s2,
+                     far_buf=fx["pl_buf"], far_sig=fx["pl_sig"],
+                     emit_buf=fx["lab_buf"], emit_sig=fx["lab_sig"],
+                     t0=c + 1, T=n - 2 - c, far_off=0, emit_off=c + 1)
+            fx["cores_st"], fx["lab_buf"], fx["lab_sig"] = (
+                rB.cores_st, rB.emit_buf, rB.emit_sig)
+            fx["trav"] = rB.cur_core
+            visit += [(c + 1 + i, direction, rB.stats[i])
+                      for i in range(n - 2 - c)]
+        else:
+            rB = seg(cur=fx["trav"], near_arr=e_arr, near_sig=e_sig,
+                     far_buf=fx["lab_buf"], far_sig=fx["lab_sig"],
+                     emit_buf=fx["pl_buf"], emit_sig=fx["pl_sig"],
+                     t0=c + 1, T=n - 2 - c, far_off=c + 1, emit_off=0)
+            fx["cores_st"], fx["pl_buf"], fx["pl_sig"] = (
+                rB.cores_st, rB.emit_buf, rB.emit_sig)
+            visit += [(n - 2 - i, direction, rB.stats[n - 2 - c - 1 - i])
+                      for i in range(n - 2 - c)]
+            # bond c: (label, plain) pair; iso side = plain right core
+            nwl, nwr, env_a, env_s, st1 = center(
+                c, fx["label_core"], rB.cur_core, rB.near_arr, rB.near_sig,
+                "left")
+            fx["cores_st"] = fx["cores_st"].at[c + 1].set(nwr)
+            visit.append((c, direction, st1))
+            # bond c-1: (plain, label) pair; iso side = label core
+            nwl2, nwr2, env_a2, env_s2, st2 = center(
+                c - 1, fx["cores_st"][c - 1], nwl, env_a, env_s, "right")
+            fx["label_core"] = nwr2
+            visit.append((c - 1, direction, st2))
+            rA = seg(cur=nwl2, near_arr=env_a2, near_sig=env_s2,
+                     far_buf=fx["pl_buf"], far_sig=fx["pl_sig"],
+                     emit_buf=fx["lab_buf"], emit_sig=fx["lab_sig"],
+                     t0=0, T=c - 1, far_off=0, emit_off=0)
+            fx["cores_st"], fx["lab_buf"], fx["lab_sig"] = (
+                rA.cores_st, rA.emit_buf, rA.emit_sig)
+            fx["trav"] = rA.cur_core
+            visit += [(c - 2 - i, direction, rA.stats[c - 2 - i])
+                      for i in range(c - 1)]
+        return visit
+
+    def _fused_writeback_fixed(self) -> None:
+        fx = self._fsx
+        c = self.label_site
+        st = np.asarray(fx["cores_st"])
+        for j in range(self.n):
+            if j == c:
+                self.cores[j] = np.asarray(fx["label_core"])
+            elif j == 0:
+                self.cores[j] = np.asarray(fx["trav"])
+            else:
+                self.cores[j] = st[j]
 
     # -- extraction ---------------------------------------------------------------
 

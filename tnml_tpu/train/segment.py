@@ -141,8 +141,12 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
             cost, per_label, ncor, reg = bond_ops.quadcost(
                 newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
                 mxu_dtype=mxu_dtype)
+            cost_pre, _, _, _ = bond_ops.quadcost(
+                cg.B5, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
+                mxu_dtype=mxu_dtype)
         else:
             cost = jnp.float32(jnp.nan)
+            cost_pre = jnp.float32(jnp.nan)
             per_label = jnp.zeros((10,), jnp.float32)
             ncor, reg = jnp.int32(-1), jnp.float32(0.0)
 
@@ -163,6 +167,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         stats = stats.at[step_ops.S_REG].set(reg)
         stats = stats.at[step_ops.S_R0].set(cg.r0norm)
         stats = stats.at[step_ops.S_PASSES].set(cg.passes.astype(jnp.float32))
+        stats = stats.at[step_ops.S_COST_PRE].set(cost_pre)
         stats = lax.dynamic_update_slice(stats, per_label, (step_ops.S_PER_LABEL,))
         stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.S_CG,))
         stats = lax.dynamic_update_slice(stats, cg.rnorms,

@@ -26,9 +26,9 @@ from tnml_tpu.train import bond as bond_ops
 
 # stats vector layout
 (S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES, S_AUX,
- S_REPLACED) = range(9)
-S_PER_LABEL = 9           # 10 entries
-S_CG = 19                 # npass cost entries, then npass |r| entries
+ S_REPLACED, S_COST_PRE) = range(10)
+S_PER_LABEL = 10          # 10 entries
+S_CG = 20                 # npass cost entries, then npass |r| entries
 
 
 def stats_len(npass: int) -> int:
@@ -112,8 +112,14 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         newB = bond_ops.make_bond(nwl, nwr)
         cost, per_label, ncor, reg = bond_ops.quadcost(
             newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+        # pre-split cost of the optimizer output, for the reference's ">10%
+        # larger C after SVD" truncation-regression check (fixedL.cc:523-533)
+        cost_pre, _, _, _ = bond_ops.quadcost(
+            cg.B5, LE, lsc, RE, rsc, xc, x1, Y, labels, lam,
+            mxu_dtype=mxu_dtype)
     else:
         cost = jnp.float32(jnp.nan)
+        cost_pre = jnp.float32(jnp.nan)
         per_label = jnp.zeros((10,), jnp.float32)
         ncor, reg = jnp.int32(-1), jnp.float32(0.0)
 
@@ -151,6 +157,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
     stats = stats.at[S_REG].set(reg)
     stats = stats.at[S_R0].set(cg.r0norm)
     stats = stats.at[S_PASSES].set(cg.passes.astype(jnp.float32))
+    stats = stats.at[S_COST_PRE].set(cost_pre)
     stats = lax.dynamic_update_slice(stats, per_label.astype(jnp.float32),
                                      (S_PER_LABEL,))
     stats = lax.dynamic_update_slice(stats, cg.costs, (S_CG,))
