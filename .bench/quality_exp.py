@@ -17,6 +17,8 @@ tag, nt, nsweep, npass = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sy
 lam, ramp = float(sys.argv[5]), [int(x) for x in sys.argv[6].split(",")]
 cconv = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-10
 alpha = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
+prec = sys.argv[9] if len(sys.argv) > 9 else None
+label_mode = sys.argv[10] if len(sys.argv) > 10 else "moving"
 
 tr = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=nt, verbose=False)
 te = read_mnist("/root/reference/mllib/MNIST", TEST, nt=1000, verbose=False)
@@ -24,8 +26,8 @@ X = featurize(tr.images, FEATURE_SERIES, d=2)
 Xte = featurize(te.images, FEATURE_SERIES, d=2)
 cfg = FixedLConfig(nsweep=nsweep, maxm=max(ramp), cutoff=1e-10, lam=lam, alpha=alpha,
                    npass=npass, cconv=cconv, method="fast_conj_exact",
-                   label_mode="moving", pad=max(ramp), maxm_schedule=ramp, env_dtype="bf16",
-                   report_cost=True)
+                   label_mode=label_mode, pad=max(ramp), maxm_schedule=ramp,
+                   env_dtype="bf16", precision=prec, report_cost=True)
 wd = tempfile.mkdtemp(prefix=f"qexp_{tag}_")
 model = FixedLModel.initialize(X, tr.labels, cfg, workdir=wd, verbose=False)
 ev = Evaluator(Xte, te.labels)

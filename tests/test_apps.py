@@ -95,6 +95,30 @@ def test_fixedl_then_fulltest_end_to_end(tmp_path, small_datadir, capsys):
     assert m and int(m.group(1)) >= 20
 
 
+def test_fixedl_reference_default_path_learns(tmp_path, small_datadir, capsys):
+    """The parity-default configuration — series map WITH the double-/255 quirk
+    (fixedL.cc:637-642) — must itself learn, not just the 'fixed' variant the
+    other e2e tests use.  8x8 images keep the near-degeneracy mild (VERDICT
+    round-1 item 7)."""
+    from tnml_tpu.apps import fixedL, fulltest
+
+    inp = write_input(tmp_path / "inp", datadir=small_datadir, Ntrain=40,
+                      maxm=12, Nsweep=3, Npass=2, ninitial=2,
+                      cutoff="1E-12", **{"lambda": "1E-3"})
+    assert run_in(tmp_path, fixedL.main, inp) == 0
+    out = capsys.readouterr().out
+    assert "Before starting DMRG Cost" in out
+    import re
+    cor = [int(m.group(1)) for m in
+           re.finditer(r"correct (\d+)/400", out)]
+    assert cor and cor[-1] > 2 * 40, f"train correct trajectory {cor}"
+
+    assert run_in(tmp_path, fulltest.main, inp) == 0
+    out = capsys.readouterr().out
+    m = re.search(r"(\d+)/50 correct", out)
+    assert m and int(m.group(1)) > 10   # > 2x chance on held-out
+
+
 def test_fixedl_warm_restart(tmp_path, small_datadir, capsys):
     from tnml_tpu.apps import fixedL
 

@@ -44,6 +44,27 @@ def test_parse_sample_fixedl():
     assert cfg.get_string("datadir") == "/some/path/MNIST"
 
 
+def test_parse_real_reference_sample_inputs():
+    """The actual files shipped by the reference must parse verbatim."""
+    import os
+    base = "/root/reference/sample_inputs"
+    if not os.path.isdir(base):
+        pytest.skip("reference sample_inputs not present")
+    fx = read_input_file(os.path.join(base, "input_fixedL"))
+    assert fx.get_int("Ntrain") == 100
+    assert fx.get_int("maxm") == 40
+    assert fx.get_int("Nsweep") == 50
+    assert fx.get_real("lambda") == 1e-3
+    assert fx.get_real("cutoff") == 1e-12
+    assert fx.get_int("Npass") == 2
+    assert fx.get_int("Nbatch") == 4
+    assert fx.get_int("ninitial") == 2
+    sg = read_input_file(os.path.join(base, "input_single"))
+    assert sg.get_int("label") == 3
+    assert sg.get_int("maxm") == 20
+    assert sg.get_int("Nsweep") == 10
+
+
 def test_parse_indented_with_comments():
     cfg = Config(parse_input_text(INDENTED))
     assert cfg.get_int("label") == 3

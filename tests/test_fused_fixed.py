@@ -72,6 +72,22 @@ def test_fused_fixed_learns():
     assert h[-1].ncorrect > h[0].ncorrect
 
 
+def test_hbm_model_v5e8_full_mnist():
+    """The per-chip memory model behind BASELINE.md's pod-scale row: full MNIST
+    on a v5e-8 (16 GB HBM/chip) fits in BOTH label modes with bf16 wings."""
+    from tnml_tpu.parallel.mesh import estimate_hbm
+
+    for mode in ("moving", "fixed"):
+        est = estimate_hbm(58862, 784, 120, env_bytes=2, n_chips=8,
+                           label_mode=mode)
+        assert est["total"] < 16e9, (mode, est)
+    # and the documented single-chip situation: moving fits, fixed does not
+    assert estimate_hbm(58862, 784, 120, env_bytes=2, n_chips=1,
+                        label_mode="moving")["total"] < 16e9
+    assert estimate_hbm(58862, 784, 120, env_bytes=2, n_chips=1,
+                        label_mode="fixed")["total"] > 16e9
+
+
 def test_fused_fixed_model_layer_dispatch():
     """FixedLModel.train picks the fused engine when the buffer fits, and the
     per-bond engine when TNML_FUSED_FIXED_MAX_BYTES forbids it."""

@@ -239,12 +239,24 @@ class FixedLModel:
         # CG training runs scan-fused; the fixed-label layout additionally needs
         # its 10x-wide labeled wing buffer to fit HBM (see _use_fused)
         fused = self._use_fused(eng, cfg, verbose)
+        if fused and env_store is not None and hasattr(env_store, "device_resident"):
+            # out-of-core was requested (Nbatch>1/offload) but the fused engine
+            # keeps its wings in internal scan buffers — the store would sit
+            # inert.  Fail loudly into the per-bond engine, which honors it.
+            print("[offload] out-of-core wing store requested: using the "
+                  "per-bond engine (the scan-fused path keeps wings in fused "
+                  "device buffers; set offload = none to run fused)")
+            fused = False
         if not fused:
             eng.init_envs()
             if verbose:
                 cost, _, ncor, _ = eng.quadcost(0)
                 print(f"Before starting DMRG Cost = {float(cost) / eng.nt:.10f} "
                       f"(correct {int(ncor)}/{eng.nt})")
+        elif verbose:
+            cost, ncor = eng.initial_report()
+            print(f"Before starting DMRG Cost = {cost / eng.nt:.10f} "
+                  f"(correct {ncor}/{eng.nt})")
         history = []
         stop = [False]
 

@@ -78,6 +78,39 @@ class DataParallel:
         return Xp, lp
 
 
+def estimate_hbm(batch: int, n_sites: int, pad: int, *, d: int = 2,
+                 n_labels: int = 10, env_bytes: int = 2, n_chips: int = 1,
+                 label_mode: str = "moving") -> dict:
+    """Per-chip HBM model (bytes) of the scan-fused training state.
+
+    The dominant buffers, per chip with the batch sharded dp over ``n_chips``:
+    - wing stack:    (N-1) * (B/chips) * pad * env_bytes    (moving: one stack,
+      label-free; fixed: a plain stack + the 10x labeled stack of ~N/2 rows)
+    - feature array: N * d * (B/chips) * 4
+    - cores:         N * pad * d * pad * 4 (+ label core *n_labels), replicated
+    - CG working set: ~3 bond tensors + Lphi/Rphi products ~ 2*(B/chips)*K*pad*d*4
+
+    This is the sizing rule behind BASELINE.md's pod-scale row: full MNIST
+    (B=58,862, N=784, m=120, bf16 wings) on a v5e-8 runs the moving mode at
+    ~1.4 GB/chip of wing stack — and even the labeled fixed-mode stack fits
+    (~6.9 GB/chip).
+    """
+    bpc = (batch + n_chips - 1) // n_chips
+    wings_plain = (n_sites - 1) * bpc * pad * env_bytes
+    out = {
+        "features": n_sites * d * bpc * 4,
+        "cores": n_sites * pad * d * pad * 4 + pad * d * pad * n_labels * 4,
+        "cg_work": 2 * bpc * n_labels * pad * d * 4 + 3 * pad * d * d * pad * n_labels * 4,
+    }
+    if label_mode == "moving":
+        out["wings"] = wings_plain
+    else:
+        half = max(n_sites // 2 - 2, 1)
+        out["wings"] = wings_plain + half * bpc * n_labels * pad * env_bytes
+    out["total"] = sum(out.values())
+    return out
+
+
 @dataclass
 class TwoAxisParallel(DataParallel):
     """dp x mp mesh: batch sharded on 'dp', MPS bond dimension sharded on 'mp'.

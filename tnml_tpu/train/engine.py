@@ -215,6 +215,26 @@ class SweepEngine:
     def bond_tensor(self, b: int) -> jnp.ndarray:
         return bond_ops.make_bond(self.cores[b], self.cores[b + 1])
 
+    def lowered_bond_hlo(self, b: int, direction: int) -> str:
+        """Compiled HLO text of the fused bond step at bond b — lets callers
+        assert that batch sharding actually turned the CG reductions into
+        cross-chip collectives (SURVEY.md §5 distributed-backend row)."""
+        le, re = self._le(b), self._re(b)
+        case = bond_ops.bond_case(b, self.label_site)
+        label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
+        key = np.asarray([0], dtype=np.uint32)
+        lowered = step_ops.fused_bond_step.lower(
+            self.cores[b], self.cores[b + 1], le[0], le[1], re[0], re[1],
+            self.Xsites[b], self.Xsites[b + 1], self.Y, self.labels,
+            self._hyp_f, self._hyp_i, key,
+            label_leg=label_leg, iso_left=(direction > 0), method=self.method,
+            npass=self.npass, check_r0=(self.label_site is None),
+            report=self.report_cost, use_noise=False, ntarget=self.ntarget,
+            env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
+            svd_method=self.svd_method, replace=self.replace,
+            damp=(self.alpha != 1.0))
+        return lowered.compile().as_text()
+
     def quadcost(self, b: int = 0, B5: Optional[jnp.ndarray] = None):
         """(C_total, per_label, ncorrect, reg) at bond b with current wings."""
         if B5 is None:
@@ -223,6 +243,23 @@ class SweepEngine:
         return bond_ops.quadcost(B5, le[0], le[1], re[0], re[1],
                                  self.Xsites[b], self.Xsites[b + 1], self.Y,
                                  self.labels, jnp.float32(self.lam))
+
+    def initial_report(self):
+        """(cost, ncorrect) of the current model over the training set, without
+        needing the env table — the fixedL pre-DMRG report (fixedL.cc:745) for
+        engines whose wings live inside fused buffers."""
+        from tnml_tpu.eval.fulltest import _contract_packed
+
+        xs = jnp.stack(self.Xsites)
+        P, sig = _contract_packed(self.packed(), xs, self.nt, self.dtype)
+        P = np.asarray(P, np.float64) * np.exp(np.asarray(sig, np.float64))[:, None]
+        Y = np.asarray(self.Y, np.float64)
+        cost = float(((Y - P) ** 2).sum())
+        cost += self.lam * float(np.sum(np.asarray(self.bond_tensor(0)) ** 2))
+        labels = np.asarray(self.labels)
+        ncor = int((np.abs(P).argmax(axis=1) == labels).sum()) if P.shape[1] > 1 \
+            else 0
+        return cost, ncor
 
     def bond_step_async(self, b: int, direction: int):
         """Enqueue one fused bond step; returns the device stats vector."""
@@ -250,6 +287,10 @@ class SweepEngine:
             env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method, replace=self.replace,
             damp=(self.alpha != 1.0))
+        if self.sharding is not None and hasattr(self.sharding, "shard_core"):
+            # GSPMD may replicate jit outputs; re-pin the bond ('mp') sharding so
+            # it survives the whole sweep (dryrun asserts this)
+            wl, wr = self.sharding.shard_core(wl), self.sharding.shard_core(wr)
         self.cores[b], self.cores[b + 1] = wl, wr
         self.env.put(b if direction > 0 else b + 1, (env_arr, env_sig))
         if self.label_mode == "moving":
