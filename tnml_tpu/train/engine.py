@@ -202,8 +202,28 @@ class SweepEngine:
 
     def init_envs(self) -> None:
         """Build all right wings, sites N-1 down to 2 (TrainStates::init,
-        fixedL.cc:122-157)."""
+        fixedL.cc:122-157).
+
+        Device-resident stores get the whole table from ONE fused device call
+        (init_wing_table); offload stores keep the incremental per-site path so
+        wings can demote as they are produced (bounded HBM residency)."""
         self.env.clear()
+        if type(self.env) is DeviceEnvStore:
+            from tnml_tpu.train.env import init_wing_table
+
+            c = self.label_site if self.label_site is not None else -1
+            label_core = self.cores[c] if c >= 2 else None
+            zeros = jnp.zeros_like(self.cores[0 if c != 0 else 1])
+            # rank-4 rows can't stack; the label core rides separately (c >= 2)
+            # or sits below the scanned range (c < 2) — zero its row either way
+            rows = [self.cores[j] if self.cores[j].ndim == 3 else zeros
+                    for j in range(self.n)]
+            arrs, sigs = init_wing_table(jnp.stack(rows), label_core,
+                                         jnp.stack(self.Xsites), c,
+                                         env_dtype=self.env_dtype)
+            for i, j in enumerate(range(2, self.n)):
+                self.env.put(j, (arrs[i], sigs[i]))
+            return
         prev = self._edge_env()
         for j in range(self.n - 1, 1, -1):
             prev = env_extend(prev[0], prev[1], self.Xsites[j], self.cores[j],

@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 Env = Tuple[jnp.ndarray, jnp.ndarray]  # (arr [B, K, m], sigma [B])
 
@@ -44,6 +45,47 @@ def edge_env(batch: int, pad: int, dtype=jnp.float32) -> Env:
     float32, whatever the wing storage dtype."""
     arr = jnp.zeros((batch, pad), dtype=dtype).at[:, 0].set(1.0)
     return arr, jnp.zeros((batch,), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("c", "env_dtype"))
+def init_wing_table(cores_st, label_core, xs, c: int, env_dtype=None):
+    """ALL right wings (sites 2..N-1) in ONE device call (TrainStates::init,
+    fixedL.cc:122-157) — the fused replacement for N-2 sequential env_extend
+    dispatches (~4 ms each through a networked TPU).
+
+    ``cores_st`` [N, pad, d, pad] site-aligned plain cores (row c ignored when a
+    label core is present); ``label_core`` [pad, d, pad, L] or None; ``c`` the
+    label site (-1 when none).  Returns (site_tuple_of_arrs, site_tuple_of_sigs)
+    for sites 2..N-1 in ascending order; wings covering the label core have K=L.
+    The sequential recursion stays (it is the algorithm and is compute-trivial);
+    what is removed is the per-site dispatch, not the chain.
+    """
+    n, pad = cores_st.shape[0], cores_st.shape[1]
+    nb = xs.shape[2]
+    carry = edge_env(nb, pad, env_dtype or jnp.float32)
+
+    def ext(cr, inp):
+        core, x = inp
+        out = env_extend(cr[0], cr[1], x, core, fromleft=False,
+                         out_dtype=env_dtype)
+        return out, out
+
+    lo = c + 1 if (label_core is not None and c >= 2) else 2
+    carry, (pe, ps) = lax.scan(ext, carry, (cores_st[lo:], xs[lo:]),
+                               reverse=True)
+    arrs = [pe[i] for i in range(n - lo)]      # site lo+i
+    sigs = [ps[i] for i in range(n - lo)]
+    if label_core is not None and c >= 2:
+        lab = env_extend(carry[0], carry[1], xs[c], label_core,
+                         fromleft=False, out_dtype=env_dtype)
+        arrs.insert(0, lab[0])
+        sigs.insert(0, lab[1])
+        if c > 2:
+            _, (le, ls) = lax.scan(ext, lab, (cores_st[2:c], xs[2:c]),
+                                   reverse=True)
+            arrs = [le[i] for i in range(c - 2)] + arrs
+            sigs = [ls[i] for i in range(c - 2)] + sigs
+    return tuple(arrs), tuple(sigs)
 
 
 @partial(jax.jit, static_argnames=("fromleft", "out_dtype"))
