@@ -1,4 +1,8 @@
+import os
+
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from tnml_tpu.data.mnist import TEST, TRAIN, read_mnist
 from tnml_tpu.data.synthetic import render_digit, synth_images
@@ -51,3 +55,24 @@ def test_read_mnist_uses_real_labels_when_present():
 def test_read_mnist_test_split():
     ds = read_mnist(REF_MNIST, TEST, nt=50000, verbose=False)
     assert ds.n == 10000
+
+
+def test_synthetic_stable_across_processes(tmp_path):
+    """The synthetic fallback must be IDENTICAL in every process: its streams
+    were once seeded via Python hash(), which is salt-randomized per process —
+    combined with the image cache that silently re-labeled every cached image
+    under the reader process's new label permutation (observed: a workdir
+    whose cache was written by another process trained at chance accuracy)."""
+    import subprocess
+    import sys
+
+    script = (
+        "from tnml_tpu.data import synthetic; import numpy as np, zlib; "
+        "l = synthetic.synth_labels(50, 'train'); "
+        "im = synthetic.synth_images(l[:10], 'train', size=8); "
+        "print(l.tolist()); print(zlib.crc32(im.tobytes()))"
+    )
+    outs = [subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                           capture_output=True, text=True, check=True).stdout
+            for _ in range(2)]
+    assert outs[0] == outs[1]

@@ -73,7 +73,9 @@ def _cache_dir() -> str:
 
 
 def _synth_images_cached(labels: np.ndarray, split: str, size: int) -> np.ndarray:
-    key = f"synth-{split}-{labels.shape[0]}-{size}-v1.npy"
+    # v2: images keyed to the crc32-seeded generator (synthetic._rng) — v1
+    # caches were written under process-salted hash() seeds
+    key = f"synth-{split}-{labels.shape[0]}-{size}-v2.npy"
     path = os.path.join(_cache_dir(), key)
     if os.path.exists(path):
         try:

@@ -105,7 +105,14 @@ _GLYPHS = _glyphs()
 
 
 def _rng(split: str, index: int) -> np.random.Generator:
-    seed = np.uint64(abs(hash((split, "tnml-synth-v1"))) % (2**32))
+    # NOT Python hash(): str hashing is salted per process (PYTHONHASHSEED), so
+    # hash-seeded streams differ between processes — with the image cache that
+    # silently re-labels every cached image under a new label permutation
+    # (images from the writer's stream, labels from the reader's).  crc32 is
+    # stable everywhere.
+    import zlib
+
+    seed = zlib.crc32(f"tnml-synth-v2|{split}".encode())
     return np.random.Generator(np.random.Philox(key=int(seed), counter=index))
 
 
