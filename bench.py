@@ -39,8 +39,8 @@ tiny-minor-dim wing products) — precision, not operand dtype, is the speed kno
 
 The JSON line also reports ``tflops_sustained``: achieved FLOP/s from the actual
 einsum schedule of the fused bond step ((npass+1) CG data passes of apply+outer at
-8*B*(m*d)^2*L flops each, + the post-SVD cost pass at 4*B*(m*d)^2*L), so the
-headline number is falsifiable against the machine's peak.
+8*B*(m*d)^2*L flops each; the per-bond post-SVD cost report is free via shifted
+reporting, step.py), so the headline number is falsifiable against the peak.
 """
 
 import json
@@ -134,10 +134,12 @@ def main() -> int:
     flops_per_bond = passes * 2 * 2 * NT * (maxm ** 2) * (d ** 2) * L
     ref_flops = 2 * (N - 1) * flops_per_bond
     ref_seconds = ref_flops / 50e9
-    # achieved FLOP/s of OUR schedule: (npass+1) apply+outer data passes (each two
-    # matmul stages of 2*B*(m*d)*(m*d*L)) plus one apply-only post-SVD cost pass
+    # achieved FLOP/s of OUR schedule: (npass+1) apply+outer data passes, each two
+    # matmul stages of 2*B*(m*d)*(m*d*L).  The per-bond post-SVD cost report is
+    # FREE (shifted reporting: the next bond's CG gradient pass measures it by
+    # gauge invariance — train/step.py shift_report), so it adds no flops.
     md = maxm * d
-    our_per_bond = ((npass + 1) * 8 + 4) * NT * md * md * L
+    our_per_bond = (npass + 1) * 8 * NT * md * md * L
     tflops = our_per_bond * 2 * (N - 1) / secs / 1e12
     out = {
         "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
         pad=cfg.get_int("pad", 0) or None,
         label_mode=cfg.get_string("label_mode", "fixed"),
         replace=cfg.get_yesno("replace", False),
+        monotone=cfg.get_yesno("monotone", False),
         keep_best=cfg.get_yesno("keep_best", False),
         maxm_schedule=_parse_schedule(cfg.get_string("maxm_schedule", "")),
         env_dtype=cfg.get_string("env_dtype", "") or None,

@@ -35,6 +35,7 @@ def main(argv=None) -> int:
         ntarget=cfg.get_int("Ntarget", 10),
         pcut=cfg.get_real("pcut", 1e-8),
         ninitial=cfg.get_int("ninitial", 100),
+        monotone=cfg.get_yesno("monotone", False),
         report_cost=cfg.get_yesno("report_cost", True),
         pad=cfg.get_int("pad", 0) or None,
     )

@@ -99,6 +99,10 @@ class FixedLConfig:
     method: str = "conj"
     ninitial: int = 100
     replace: bool = False      # reference's experimental revert-on-worse (README.md:76)
+    monotone: bool = False     # reject-on-regress bond acceptance (every layout):
+                               # per-bond cost becomes non-increasing — kills the
+                               # CG-overshoot oscillation at full scale
+                               # (train/bond.py::monotone_accept)
     report_cost: bool = True
     pad: Optional[int] = None         # padded bond dim; default grows on demand
     label_mode: str = "fixed"         # 'fixed' (reference) | 'moving' (paper; all
@@ -190,7 +194,7 @@ class FixedLModel:
                            lam=cfg.lam, alpha=cfg.alpha,
                            npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
-                           replace=cfg.replace,
+                           replace=cfg.replace, monotone=cfg.monotone,
                            env_dtype=cfg._dtype(cfg.env_dtype),
                            mxu_dtype=cfg._dtype(cfg.mxu_dtype),
                            svd_method=cfg.svd_method, precision=cfg.precision,

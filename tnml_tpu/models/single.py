@@ -38,6 +38,7 @@ class SingleConfig:
     ntarget: int = 10
     pcut: float = 1e-8
     ninitial: int = 100
+    monotone: bool = False    # reject-on-regress bond acceptance (FixedLConfig)
     report_cost: bool = True
     pad: Optional[int] = None
 
@@ -92,7 +93,7 @@ class SingleModel:
                            lam=cfg.lam, alpha=cfg.alpha, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, pcut=cfg.pcut, ntarget=cfg.ntarget,
                            target_label=cfg.label, report_cost=cfg.report_cost,
-                           sharding=sharding)
+                           monotone=cfg.monotone, sharding=sharding)
 
     def train(self, X, labels, cfg: SingleConfig, workdir: Optional[str] = ".",
               sharding=None, verbose: bool = True):

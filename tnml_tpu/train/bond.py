@@ -100,13 +100,24 @@ class CGResult(NamedTuple):
     r0norm: jnp.ndarray      # |r| of the initial gradient
     costs: jnp.ndarray       # [npass] cost after pass i (0 where not computed)
     rnorms: jnp.ndarray      # [npass] |r| after pass i
+    cost0: jnp.ndarray       # quadcost of the INCOMING bond (free: measured in
+                             # the first gradient pass)
+    est_cost: jnp.ndarray    # quadcost of the OUTGOING bond via the exact CG
+                             # line-search identity f(B_{i+1}) = f(B_i) - a_i|r_i|^2
+                             # (exact for 'conj'/'fast_conj_exact'; drifts for the
+                             # reference's lambda-drifting 'fast_conj' recurrence)
+    pl0: jnp.ndarray         # [10] per-true-label cost of the INCOMING bond
+                             # (metrics=True only, else zeros)
+    ncor0: jnp.ndarray       # n correct of the INCOMING bond (metrics=True only)
+    reg0: jnp.ndarray        # lam*|B_in|^2 (metrics=True only)
 
 
 @partial(jax.jit, static_argnames=("npass", "fast", "check_r0", "mxu_dtype",
-                                   "fast_exact"))
+                                   "fast_exact", "metrics"))
 def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
             npass: int, fast: bool = False, check_r0: bool = False,
-            mxu_dtype=None, fast_exact: bool = False) -> CGResult:
+            mxu_dtype=None, fast_exact: bool = False,
+            labels=None, metrics: bool = False) -> CGResult:
     """Optimize the bond tensor by CG against A = sum_b v_b v_b^T + lambda.
 
     ``fast=True`` uses the residual update r <- r - a·Ap (single.h:290-398,
@@ -118,6 +129,14 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
     r <- r - a·(Ap + lambda·p) instead.
     ``check_r0=True`` skips optimization entirely when |r0| < cconv, like the
     `single` optimizers (single.h:201-205); fixedL's cgrad has no such check.
+
+    ``metrics=True`` additionally reports the INCOMING bond's per-true-label
+    cost, n-correct, and reg term (pl0/ncor0/reg0) off the same first gradient
+    pass — free [B, nl]-scale work.  Because the quadratic cost is GAUGE
+    INVARIANT (moving the orthogonality center does not change any P_b), bond
+    t+1's incoming metrics EQUAL bond t's post-split metrics, so fused sweeps
+    can report the reference's per-bond post-SVD cost (fixedL.cc:532) without
+    a dedicated post-split data pass — the engine shifts by one visit.
     """
     Bsz = LE.shape[0]
     Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
@@ -131,7 +150,26 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         cost = jnp.sum(dP * dP) + lam * jnp.sum(B * B)
         return g - lam * B, cost
 
-    r0, _ = grad_and_cost(B5)
+    if metrics:
+        P0 = apply_bond(B5, Lphi, Rphi) * sig
+        dP0 = Y4 - P0
+        g0 = outer_grad(dP0 * sig, Lphi, Rphi)
+        r0 = g0 - lam * B5
+        per_image = jnp.sum(dP0 * dP0, axis=(1, 2, 3))
+        reg0 = lam * jnp.sum(B5 * B5)
+        cost0 = jnp.sum(per_image) + reg0
+        Pflat = P0.reshape(Bsz, -1)
+        onehot = jax.nn.one_hot(labels, 10, dtype=per_image.dtype)
+        pl0 = onehot.T @ per_image
+        pred = jnp.argmax(jnp.abs(Pflat), axis=1)
+        ncor0 = jnp.where(Pflat.shape[1] > 1,
+                          jnp.sum((pred == labels).astype(jnp.int32)),
+                          jnp.int32(0))
+    else:
+        r0, cost0 = grad_and_cost(B5)
+        pl0 = jnp.zeros((10,), jnp.float32)
+        ncor0 = jnp.int32(-1)
+        reg0 = jnp.float32(0.0)
     rr0 = jnp.sum(r0 * r0)
 
     class Carry(NamedTuple):
@@ -143,6 +181,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         done: jnp.ndarray
         costs: jnp.ndarray
         rnorms: jnp.ndarray
+        fcost: jnp.ndarray   # running quadcost via the line-search identity
 
     def cond(c: Carry):
         return (c.i < npass) & (~c.done)
@@ -152,6 +191,8 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         pAp = jnp.sum(pv * pv) + lam * jnp.sum(c.p * c.p)
         alpha = c.rr / pAp
         Bn = c.B + alpha * c.p
+        # exact-line-search decrease of the quadratic: f(Bn) = f(B) - a*|r|^2
+        fcost = c.fcost - alpha * c.rr
         is_last = (c.i + 1) >= npass
 
         if fast:
@@ -181,13 +222,73 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         nr, pn, nrr, cost, done = lax.cond(is_last, last, tail, None)
         costs = c.costs.at[c.i].set(cost)
         rnorms = c.rnorms.at[c.i].set(jnp.sqrt(nrr))
-        return Carry(c.i + 1, Bn, nr, pn, nrr, done, costs, rnorms)
+        return Carry(c.i + 1, Bn, nr, pn, nrr, done, costs, rnorms, fcost)
 
     done0 = jnp.sqrt(rr0) < cconv if check_r0 else jnp.bool_(False)
     init = Carry(jnp.int32(0), B5, r0, r0, rr0, done0,
-                 jnp.zeros((npass,), jnp.float32), jnp.zeros((npass,), jnp.float32))
+                 jnp.zeros((npass,), jnp.float32), jnp.zeros((npass,), jnp.float32),
+                 cost0)
     out = lax.while_loop(cond, body, init)
-    return CGResult(out.B, out.i, jnp.sqrt(rr0), out.costs, out.rnorms)
+    return CGResult(out.B, out.i, jnp.sqrt(rr0), out.costs, out.rnorms,
+                    cost0, out.fcost, pl0, ncor0, reg0)
+
+
+# ---------------------------------------------------------------------------
+# monotone (reject-on-regress) bond acceptance
+# ---------------------------------------------------------------------------
+
+
+def monotone_accept(B5_old, nwl, nwr, rank, truncerr,
+                    LE, sigL, RE, sigR, xc, x1, Y, labels, lam,
+                    cutoff, maxm, minm, label_leg: str, iso_left: bool,
+                    svd_method: str, mxu_dtype=None):
+    """Per-bond monotone acceptance: reject the optimizer's update when its
+    post-split cost exceeds the incoming bond's cost.
+
+    The reference descends cost near-monotonically per bond and only *warns* when
+    the SVD regresses it (fixedL.cc:523-533); at scale, CG overshoot at
+    rank-saturated bonds turns those regressions into sweep-to-sweep oscillation.
+    This generalizes the reference's experimental `replace` feature (README.md:76;
+    dead code at fixedL.cc:512-514) to every layout: instead of reverting to the
+    literal old cores (which only type-checks when the label does not move
+    between the active pair), the REJECT candidate is the ORIGINAL bond tensor
+    re-split with the same label routing and isometry side, so the sweep
+    invariants (gauge, label transport) hold either way.
+
+    Both candidates are compared by their measured POST-split cost.  This is
+    essential in the moving-label layout: the label transport changes the split
+    partition, and the old bond's rank along the NEW partition is not bounded by
+    its inner bond — "keeping the old bond" still truncates, and comparing
+    against the UN-split old cost silently accepts that unmeasured regression
+    (observed as an ~10% within-sweep cost jump at rank-saturated bonds).
+
+    Returns (nwl, nwr, rank, truncerr, cost, per_label, ncor, reg, rejected,
+    cost_old); the reported metrics are those of the SELECTED candidate, and
+    ``cost_old`` (the re-split old candidate's measured cost — the acceptance
+    threshold) lands in the stats AUX slot so chain consistency of the per-bond
+    costs is observable offline.
+    """
+    owl, owr, orank, otrunc = split_bond(B5_old, cutoff, maxm, minm,
+                                         label_leg=label_leg,
+                                         iso_left=iso_left, method=svd_method)
+    newB = make_bond(nwl, nwr)
+    oldB = make_bond(owl, owr)
+    cost_new, pl_new, ncor_new, reg_new = quadcost(
+        newB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+    cost_old, pl_old, ncor_old, reg_old = quadcost(
+        oldB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+    rejected = cost_new > cost_old
+
+    nwl = jnp.where(rejected, owl, nwl)
+    nwr = jnp.where(rejected, owr, nwr)
+    rank = jnp.where(rejected, orank, rank)
+    truncerr = jnp.where(rejected, otrunc, truncerr)
+    cost = jnp.where(rejected, cost_old, cost_new)
+    per_label = jnp.where(rejected, pl_old, pl_new)
+    ncor = jnp.where(rejected, ncor_old, ncor_new)
+    reg = jnp.where(rejected, reg_old, reg_new)
+    return nwl, nwr, rank, truncerr, cost, per_label, ncor, reg, rejected, \
+        cost_old
 
 
 # ---------------------------------------------------------------------------

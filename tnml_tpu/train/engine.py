@@ -33,6 +33,12 @@ from tnml_tpu.train.env import edge_env, env_extend
 from tnml_tpu.train.envstore import DeviceEnvStore
 from tnml_tpu.train.schedule import Sweeps, sweep_bonds
 
+# the stats slots that carry "post-split" metrics; under shifted reporting
+# (step.py shift_report) each row holds the INCOMING bond's values and the
+# host moves the group back one visit (gauge invariance makes them equal)
+_METRIC_SLOTS = [step_ops.S_COST, step_ops.S_NCOR, step_ops.S_REG] + \
+    list(range(step_ops.S_PER_LABEL, step_ops.S_PER_LABEL + 10))
+
 
 @dataclass
 class BondStats:
@@ -69,6 +75,11 @@ class SweepEngine:
                  pcut: float = 1e-8,
                  ntarget: int = 10,
                  replace: bool = False,
+                 monotone: bool = False,  # reject-on-regress bond acceptance
+                                          # (bond_ops.monotone_accept): per-bond
+                                          # cost becomes non-increasing, killing
+                                          # CG-overshoot oscillation at scale
+
                  target_label: Optional[int] = None,   # single-model mode
                  report_cost: bool = True,
                  label_mode: str = "fixed",
@@ -111,6 +122,9 @@ class SweepEngine:
         self.pcut = float(pcut)
         self.ntarget = int(ntarget)
         self.replace = bool(replace)
+        self.monotone = bool(monotone)
+        if self.replace and self.monotone:
+            raise ValueError("replace and monotone acceptance are exclusive")
         self.noise = 0.0
         self._key_counter = 0
         self.report_cost = report_cost
@@ -159,6 +173,7 @@ class SweepEngine:
         self.ranks = np.asarray(model.ranks).copy()
         self.env = env_store if env_store is not None else DeviceEnvStore()
         self._edge = None
+        self._hot = None     # (site, f32 wing, sigma) of the last shifted env
         self._hyp_f = None   # [lambda, cconv, cutoff, pcut, noise, alpha]
         self._hyp_i = None   # [maxm, minm]
         self._schedule = None
@@ -172,15 +187,28 @@ class SweepEngine:
 
     def _edge_env(self):
         if self._edge is None:
-            e = edge_env(self.nt, self.pad, self.env_dtype or self.dtype)
+            e = edge_env(self.nt, self.pad, self.dtype)
             self._edge = (self._shard(e[0], 0), self._shard(e[1], 0))
         return self._edge
 
+    def _hot_or_get(self, site: int):
+        """The wing produced by the immediately preceding bond step, in f32.
+
+        The env table stores wings in ``env_dtype`` (bf16 halves the HBM); but
+        re-quantizing the ACTIVE wing at every shift compounds rounding into a
+        random walk over the N-site chain.  The freshly shifted wing is kept
+        un-quantized in ``self._hot`` and preferred over the stored copy, so
+        within a half-sweep the active chain never re-quantizes."""
+        hot = self._hot
+        if hot is not None and hot[0] == site:
+            return hot[1], hot[2]
+        return self.env.get(site)
+
     def _le(self, b: int):
-        return self.env.get(b - 1) if b >= 1 else self._edge_env()
+        return self._hot_or_get(b - 1) if b >= 1 else self._edge_env()
 
     def _re(self, b: int):
-        return self.env.get(b + 2) if b + 2 <= self.n - 1 else self._edge_env()
+        return self._hot_or_get(b + 2) if b + 2 <= self.n - 1 else self._edge_env()
 
     def set_hyper(self, cutoff: float, maxm: int, minm: int,
                   noise: float = 0.0) -> None:
@@ -208,6 +236,7 @@ class SweepEngine:
         (init_wing_table); offload stores keep the incremental per-site path so
         wings can demote as they are produced (bounded HBM residency)."""
         self.env.clear()
+        self._hot = None
         if type(self.env) is DeviceEnvStore:
             from tnml_tpu.train.env import init_wing_table
 
@@ -233,6 +262,7 @@ class SweepEngine:
     # -- per-bond step ---------------------------------------------------------
 
     def bond_tensor(self, b: int) -> jnp.ndarray:
+        self._sync_fused()
         return bond_ops.make_bond(self.cores[b], self.cores[b + 1])
 
     def lowered_bond_hlo(self, b: int, direction: int) -> str:
@@ -250,9 +280,9 @@ class SweepEngine:
             label_leg=label_leg, iso_left=(direction > 0), method=self.method,
             npass=self.npass, check_r0=(self.label_site is None),
             report=self.report_cost, use_noise=False, ntarget=self.ntarget,
-            env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
+            env_dtype=None, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method, replace=self.replace,
-            damp=(self.alpha != 1.0))
+            damp=(self.alpha != 1.0), monotone=self.monotone)
         return lowered.compile().as_text()
 
     def quadcost(self, b: int = 0, B5: Optional[jnp.ndarray] = None):
@@ -281,7 +311,8 @@ class SweepEngine:
             else 0
         return cost, ncor
 
-    def bond_step_async(self, b: int, direction: int):
+    def bond_step_async(self, b: int, direction: int,
+                    shift_report: bool = False):
         """Enqueue one fused bond step; returns the device stats vector."""
         le, re = self._le(b), self._re(b)
         case = bond_ops.bond_case(b, self.label_site)
@@ -304,15 +335,22 @@ class SweepEngine:
             method=self.method, npass=self.npass,
             check_r0=(self.label_site is None), report=self.report_cost,
             use_noise=(self.noise >= 1e-14), ntarget=self.ntarget,
-            env_dtype=self.env_dtype, mxu_dtype=self.mxu_dtype,
+            env_dtype=None, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method, replace=self.replace,
-            damp=(self.alpha != 1.0))
+            damp=(self.alpha != 1.0), monotone=self.monotone,
+            shift_report=shift_report)
         if self.sharding is not None and hasattr(self.sharding, "shard_core"):
             # GSPMD may replicate jit outputs; re-pin the bond ('mp') sharding so
             # it survives the whole sweep (dryrun asserts this)
             wl, wr = self.sharding.shard_core(wl), self.sharding.shard_core(wr)
         self.cores[b], self.cores[b + 1] = wl, wr
-        self.env.put(b if direction > 0 else b + 1, (env_arr, env_sig))
+        site = b if direction > 0 else b + 1
+        if self.env_dtype is not None:
+            from tnml_tpu.train.env import cast_wing
+            self.env.put(site, (cast_wing(env_arr, self.env_dtype), env_sig))
+            self._hot = (site, env_arr, env_sig)
+        else:
+            self.env.put(site, (env_arr, env_sig))
         if self.label_mode == "moving":
             self.label_site = b + 1 if direction > 0 else b
         return stats
@@ -332,9 +370,11 @@ class SweepEngine:
     @staticmethod
     def svd_regressed(st: BondStats) -> bool:
         """The reference's truncation-regression check: cost after the SVD split
-        more than 10% above the optimizer's pre-split cost (fixedL.cc:523-533)."""
-        return (st.cost == st.cost and st.cost_pre == st.cost_pre
-                and st.cost > 1.1 * st.cost_pre)
+        more than 10% above the optimizer's pre-split cost (fixedL.cc:523-533).
+        A rejected/replaced bond kept the OLD tensor, so the comparison does not
+        apply there."""
+        return (not st.replaced and st.cost == st.cost
+                and st.cost_pre == st.cost_pre and st.cost > 1.1 * st.cost_pre)
 
     def print_bond_report(self, st: BondStats) -> None:
         """Reference-style per-bond report (fixedL.cc:490,510,523-533)."""
@@ -372,6 +412,7 @@ class SweepEngine:
         ``verbose='bond'`` replays the reference's full per-bond report after each
         sweep's bulk stats fetch (the numbers are identical; only the moment they
         print differs from the reference's streaming output)."""
+        self._sync_fused()
         if not len(self.env):
             self.init_envs()
         history: List[BondStats] = []
@@ -382,19 +423,33 @@ class SweepEngine:
             if maxm > self.pad:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds padded dim {self.pad}")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            # shifted reporting (step.py shift_report): free incoming-bond
+            # metrics replace the dedicated post-split data pass per bond
+            shift = (self.report_cost and not self.monotone and not self.replace
+                     and self.noise < 1e-14
+                     and self.method in ("conj", "fast_conj", "fast_conj_exact"))
             if verbose:
                 print(f"\nSweep {sw + 1} maxm={maxm} minm={minm} cutoff={cutoff:g}")
             t0 = time.perf_counter()
             pending = []
             for b, direction in sweep_bonds(self.n):
                 origm = int(self.ranks[b + 1])
-                stats = self.bond_step_async(b, direction)
+                stats = self.bond_step_async(b, direction, shift_report=shift)
                 pending.append((sw + 1, b, direction, origm, stats))
                 if per_bond_hook is not None:
                     per_bond_hook(b, direction)
             # one bulk fetch per sweep
             fetched = np.asarray(jnp.stack([p[4] for p in pending]))
             dt = time.perf_counter() - t0
+            if shift:
+                rows = fetched.copy()
+                rows[:-1, _METRIC_SLOTS] = fetched[1:, _METRIC_SLOTS]
+                cost, pl, ncor, reg = self._final_metrics_perbond()
+                rows[-1, step_ops.S_COST] = cost
+                rows[-1, step_ops.S_NCOR] = ncor
+                rows[-1, step_ops.S_REG] = reg
+                rows[-1, step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10] = pl
+                fetched = rows
             for (swi, b, direction, origm, _), vec in zip(pending, fetched):
                 st = self._unpack_stats(swi, b, direction, origm, vec)
                 self.ranks[b + 1] = st.newm
@@ -417,15 +472,21 @@ class SweepEngine:
                     nwarn = sum(map(self.svd_regressed, history[-nb:]))
                     if nwarn:
                         msg += f", svd-regressed bonds {nwarn}"
+                    nrej = sum(st.replaced for st in history[-nb:])
+                    if nrej:
+                        msg += f", rejected bonds {nrej}"
                 print(msg)
         return history
 
     def _unpack_stats(self, sweep, b, direction, origm, vec) -> BondStats:
         npass = self.npass
         replaced = bool(vec[step_ops.S_REPLACED] > 0.5)
+        # `replace` reverts to the literal old cores (rank = origm); a monotone
+        # rejection re-splits the old bond, so S_RANK is the true new rank
         return BondStats(
             sweep=sweep, b=b, direction=direction, origm=origm,
-            newm=origm if replaced else int(vec[step_ops.S_RANK]),
+            newm=int(vec[step_ops.S_RANK]) if (self.monotone or not replaced)
+            else origm,
             truncerr=float(vec[step_ops.S_TRUNCERR]),
             cost=float(vec[step_ops.S_COST]),
             cost_pre=float(vec[step_ops.S_COST_PRE]),
@@ -490,11 +551,16 @@ class SweepEngine:
         fs = self._fs
         n = self.n
         history: List[BondStats] = []
+        # shifted reporting: free incoming-bond metrics instead of a dedicated
+        # post-split data pass per bond (see _shift_visit_metrics)
+        shift = (self.report_cost and not self.monotone
+                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
         common = dict(method=self.method, npass=self.npass,
                       check_r0=(self.label_site is None),
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
-                      damp=(self.alpha != 1.0))
+                      damp=(self.alpha != 1.0), monotone=self.monotone,
+                      shift_report=shift)
         for sw in range(sweeps.nsweep):
             maxm = int(sweeps.maxm[sw])
             minm = int(sweeps.minm[sw])
@@ -522,11 +588,15 @@ class SweepEngine:
             dt = time.perf_counter() - t0
             visit = [(b, +1, fwd_stats[b]) for b in range(n - 1)] + \
                     [(b, -1, bwd_stats[b]) for b in range(n - 2, -1, -1)]
+            if shift:
+                visit = self._shift_visit_metrics(visit)
             for b, direction, vec in visit:
                 st = self._unpack_stats(sw + 1, b, direction,
                                         int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
+                if verbose == "bond":
+                    self.print_bond_report(st)
             if verbose:
                 last = history[-1]
                 n_bonds = len(visit)
@@ -541,9 +611,74 @@ class SweepEngine:
                     nwarn = sum(map(self.svd_regressed, history[-n_bonds:]))
                     if nwarn:
                         msg += f", svd-regressed bonds {nwarn}"
+                    nrej = sum(st.replaced for st in history[-n_bonds:])
+                    if nrej:
+                        msg += f", rejected bonds {nrej}"
                 print(msg)
-        self._fused_writeback()
+        self._fused_dirty = "moving"
         return history
+
+    def _final_metrics_perbond(self):
+        """Explicit quadcost at the sweep's final bond (bond 0), env-store
+        wings — one device call closing the shifted-report chain."""
+        cost, pl, ncor, reg = jax.device_get(self.quadcost(0))
+        return (float(cost), np.asarray(pl, np.float32), float(ncor),
+                float(reg))
+
+    def _shift_visit_metrics(self, visit, final_fn=None):
+        """Shifted reporting (segment.py/step.py shift_report): each fused stats
+        row carries the INCOMING bond's (cost, ncor, per-label, reg) — by gauge
+        invariance exactly the PREVIOUS visit's post-split metrics.  Shift the
+        metric group back one visit; the final visit's metrics come from one
+        explicit quadcost on the final fused state (one device call per sweep
+        instead of one post-split data pass per bond)."""
+        if final_fn is None:
+            final_fn = self._fused_final_metrics
+        out = []
+        for k, (b, direction, vec) in enumerate(visit):
+            vec = vec.copy()
+            if k + 1 < len(visit):
+                vec[_METRIC_SLOTS] = visit[k + 1][2][_METRIC_SLOTS]
+            else:
+                cost, pl, ncor, reg = final_fn()
+                vec[step_ops.S_COST] = cost
+                vec[step_ops.S_NCOR] = ncor
+                vec[step_ops.S_REG] = reg
+                vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10] = pl
+            out.append((b, direction, vec))
+        return out
+
+    def _fused_final_metrics(self):
+        """Quadcost of the final fused state at bond 0 (moving layout: the
+        labelled carry core is core 0 after a backward half-sweep)."""
+        import jax.numpy as jnp
+
+        fs = self._fs
+        B5 = bond_ops.make_bond(fs["carry"], fs["next_cores"][0])
+        e_arr, e_sig = self._edge_env()
+        cost, pl, ncor, reg = jax.device_get(bond_ops.quadcost(
+            B5, e_arr, e_sig, fs["opp"][0], fs["opp_sig"][0],
+            fs["xl"][0], fs["xr"][0], self.Y, self.labels,
+            jnp.float32(self.lam)))
+        return (float(cost), np.asarray(pl, np.float32), float(ncor),
+                float(reg))
+
+    def _fused_final_metrics_fixed(self):
+        """Quadcost of the final FIXED-layout fused state at bond 0: after the
+        backward half-sweep, lab_buf[0] is the labelled right wing covering
+        sites 2..N-1 (current cores — emitted as the bond-0 carry-in), and the
+        travelling core sits at site 0."""
+        import jax.numpy as jnp
+
+        fx = self._fsx
+        B5 = bond_ops.make_bond(fx["trav"], fx["cores_st"][1])
+        e_arr, e_sig = self._edge_env()
+        cost, pl, ncor, reg = jax.device_get(bond_ops.quadcost(
+            B5, e_arr, e_sig, fx["lab_buf"][0], fx["lab_sig"][0],
+            self.Xsites[0], self.Xsites[1], self.Y, self.labels,
+            jnp.float32(self.lam)))
+        return (float(cost), np.asarray(pl, np.float32), float(ncor),
+                float(reg))
 
     def _fused_writeback(self) -> None:
         """Sync the stacked fused state back into self.cores (label at core 0)."""
@@ -590,10 +725,13 @@ class SweepEngine:
             self._fused_init_fixed()
         fx = self._fsx
         n, c = self.n, self.label_site
+        shift = (self.report_cost and not self.monotone
+                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
         common = dict(method=self.method, npass=self.npass,
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
-                      damp=(self.alpha != 1.0))
+                      damp=(self.alpha != 1.0), monotone=self.monotone,
+                      shift_report=shift)
         history: List[BondStats] = []
         for sw in range(sweeps.nsweep):
             maxm = int(sweeps.maxm[sw])
@@ -607,12 +745,18 @@ class SweepEngine:
             for forward in (True, False):
                 visit += self._fused_fixed_half(fx, forward, common)
             fetched = np.asarray(jnp.stack([v[2] for v in visit]))
+            visit = [(b, d, row) for (b, d, _), row in zip(visit, fetched)]
+            if shift:
+                visit = self._shift_visit_metrics(
+                    visit, final_fn=self._fused_final_metrics_fixed)
             dt = time.perf_counter() - t0
-            for (b, direction, _), vec in zip(visit, fetched):
+            for b, direction, vec in visit:
                 st = self._unpack_stats(sw + 1, b, direction,
                                         int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
+                if verbose == "bond":
+                    self.print_bond_report(st)
             if verbose:
                 last = history[-1]
                 msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
@@ -625,8 +769,11 @@ class SweepEngine:
                     nwarn = sum(map(self.svd_regressed, history[-len(visit):]))
                     if nwarn:
                         msg += f", svd-regressed bonds {nwarn}"
+                    nrej = sum(st.replaced for st in history[-len(visit):])
+                    if nrej:
+                        msg += f", rejected bonds {nrej}"
                 print(msg)
-        self._fused_writeback_fixed()
+        self._fused_dirty = "fixed"
         return history
 
     def _fused_fixed_half(self, fx, forward: bool, common):
@@ -639,7 +786,9 @@ class SweepEngine:
 
         n, c = self.n, self.label_site
         direction = 1 if forward else -1
-        e_arr, e_sig = edge_env(self.nt, self.pad, self.env_dtype or self.dtype)
+        # f32: the near wing is the segments' fori_loop CARRY (stored stack rows
+        # quantize at emission; re-quantizing the carry compounds bf16 rounding)
+        e_arr, e_sig = edge_env(self.nt, self.pad, self.dtype)
         e_arr, e_sig = self._shard(e_arr, 0), self._shard(e_sig, 0)
         seg = lambda **kw: segf.fixed_segment(
             fx["cores_st"], kw.pop("cur"), kw.pop("near_arr"),
@@ -731,6 +880,21 @@ class SweepEngine:
 
     # -- extraction ---------------------------------------------------------------
 
+    def _sync_fused(self) -> None:
+        """Materialize self.cores from the fused device buffers on demand.
+
+        run_fused keeps the model in stacked device buffers and only marks
+        cores stale; the bulk fetch (180 MB at N=784/m=120 — ~2 s over a
+        networked TPU tunnel) happens here, the first time something actually
+        reads cores (checkpoint, evaluation, per-bond engine)."""
+        kind = getattr(self, "_fused_dirty", None)
+        if kind == "moving":
+            self._fused_writeback()
+        elif kind == "fixed":
+            self._fused_writeback_fixed()
+        self._fused_dirty = None
+
     def packed(self) -> PackedMPS:
+        self._sync_fused()
         return PackedMPS(cores=list(self.cores), ranks=self.ranks.copy(),
                          label_site=self.label_site, pad=self.pad)

@@ -62,13 +62,15 @@ def init_wing_table(cores_st, label_core, xs, c: int, env_dtype=None):
     """
     n, pad = cores_st.shape[0], cores_st.shape[1]
     nb = xs.shape[2]
-    carry = edge_env(nb, pad, env_dtype or jnp.float32)
+    dt = env_dtype or jnp.float32
+    carry = edge_env(nb, pad, jnp.float32)
 
     def ext(cr, inp):
         core, x = inp
-        out = env_extend(cr[0], cr[1], x, core, fromleft=False,
-                         out_dtype=env_dtype)
-        return out, out
+        # f32 carry; stored wings quantize ONCE at emission (per-site
+        # re-quantization compounds bf16 rounding over the N-site chain)
+        out = env_extend(cr[0], cr[1], x, core, fromleft=False)
+        return out, (out[0].astype(dt), out[1])
 
     lo = c + 1 if (label_core is not None and c >= 2) else 2
     carry, (pe, ps) = lax.scan(ext, carry, (cores_st[lo:], xs[lo:]),
@@ -77,8 +79,8 @@ def init_wing_table(cores_st, label_core, xs, c: int, env_dtype=None):
     sigs = [ps[i] for i in range(n - lo)]
     if label_core is not None and c >= 2:
         lab = env_extend(carry[0], carry[1], xs[c], label_core,
-                         fromleft=False, out_dtype=env_dtype)
-        arrs.insert(0, lab[0])
+                         fromleft=False)
+        arrs.insert(0, lab[0].astype(dt))
         sigs.insert(0, lab[1])
         if c > 2:
             _, (le, ls) = lax.scan(ext, lab, (cores_st[2:c], xs[2:c]),
@@ -122,3 +124,9 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return squeeze_env(out), sigma + jnp.log(safe)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def cast_wing(arr: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Quantize a wing for table storage (one rounding; see SweepEngine._hot_or_get)."""
+    return arr.astype(dtype)

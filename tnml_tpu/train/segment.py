@@ -65,12 +65,17 @@ def init_right_wings(cores, xs, env_dtype=None):
     """
     nb = xs.shape[2]
     pad = cores.shape[1]
-    carry = _edge(nb, pad, env_dtype)
+    dt = env_dtype or jnp.float32
+    # the CARRY stays f32 and only the STORED rows quantize: re-quantizing the
+    # carry at every site compounds bf16 rounding into a random walk over up to
+    # N sites (~2^-9 * sqrt(N) ≈ 5% wing error at N=784) that corrupts every
+    # bond's objective; one rounding per stored row keeps it at ~0.2%
+    carry = _edge(nb, pad, None)
 
     def body(c, inp):
         core, x = inp
-        out = env_extend(c[0], c[1], x, core, fromleft=False, out_dtype=env_dtype)
-        return out, c   # emit carry-IN
+        out = env_extend(c[0], c[1], x, core, fromleft=False)
+        return out, (c[0].astype(dt), c[1])   # emit carry-IN, quantized once
 
     _, (envs, sigs) = lax.scan(body, carry, (cores, xs), reverse=True)
     return envs, sigs
@@ -78,7 +83,8 @@ def init_right_wings(cores, xs, env_dtype=None):
 
 @partial(jax.jit, static_argnames=("forward", "method", "npass", "check_r0",
                                    "report", "env_dtype", "mxu_dtype",
-                                   "svd_method", "damp"),
+                                   "svd_method", "damp", "monotone",
+                                   "shift_report"),
          donate_argnums=(1, 2, 3))
 def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                next_cores,        # [n_bonds, pad,d,pad] row t: core absorbed at bond t
@@ -87,7 +93,8 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                Y, labels, hyp_f, hyp_i,
                forward: bool, method: str, npass: int, check_r0: bool,
                report: bool, env_dtype=None, mxu_dtype=None,
-               svd_method: str = "gram", damp: bool = False):
+               svd_method: str = "gram", damp: bool = False,
+               monotone: bool = False, shift_report: bool = False):
     """One fused half-sweep over bonds 0..n_bonds-1 (forward) or reversed.
 
     The bond-aligned stacks live in the fori_loop CARRY and are updated in place:
@@ -103,7 +110,9 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
     pad = carry_core.shape[0]
     n_bonds = next_cores.shape[0]
     npass_len = step_ops.stats_len(npass)
-    carry0 = _edge(nb, pad, env_dtype)
+    # f32 carry; stored stack rows quantize once at emission (see
+    # init_right_wings — per-site re-quantization compounds over the chain)
+    carry0 = _edge(nb, pad, None)
 
     def body(i, st):
         env_st, sig_st, core_st, stats_st, near_arr, near_sig, core_t = st
@@ -126,7 +135,9 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xl, xr, Y, lam, cconv,
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
-                              fast_exact=(method == "fast_conj_exact"))
+                              fast_exact=(method == "fast_conj_exact"),
+                              labels=labels,
+                              metrics=((shift_report or monotone) and report))
         if damp:
             # bond-update damping (engine.alpha -> hyp_f[5]); statically gated
             # so the default alpha=1 sweep emits no extra ops
@@ -136,14 +147,37 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
             cg.B5, cutoff, maxm, minm, label_leg=label_leg,
             iso_left=forward, method=svd_method)
 
-        if report:
+        # pre-split cost: free via the CG line-search identity for the exact
+        # recurrences; a data pass otherwise (see step.py)
+        est_pre = method in ("conj", "fast_conj_exact") and not damp
+
+        def pre_split_cost():
+            if est_pre:
+                return cg.est_cost
+            return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
+                                     labels, lam, mxu_dtype=mxu_dtype)[0]
+
+        rejected = jnp.bool_(False)
+        aux = jnp.float32(0.0)
+        if monotone:
+            (nwl, nwr, rank, truncerr, cost, per_label, ncor,
+             reg, rejected, aux) = bond_ops.monotone_accept(
+                B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
+                labels, lam, cutoff, maxm, minm, label_leg, forward,
+                svd_method, mxu_dtype=mxu_dtype)
+            cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
+        elif report and shift_report:
+            # shifted reporting (step.py): cost slots carry the INCOMING
+            # metrics, free off the CG gradient pass; the engine shifts the
+            # group back one visit (gauge invariance) — no post-split pass
+            cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+            cost_pre = pre_split_cost()
+        elif report:
             newB = bond_ops.make_bond(nwl, nwr)
             cost, per_label, ncor, reg = bond_ops.quadcost(
                 newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
                 mxu_dtype=mxu_dtype)
-            cost_pre, _, _, _ = bond_ops.quadcost(
-                cg.B5, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
-                mxu_dtype=mxu_dtype)
+            cost_pre = pre_split_cost()
         else:
             cost = jnp.float32(jnp.nan)
             cost_pre = jnp.float32(jnp.nan)
@@ -153,13 +187,15 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         if forward:
             fixed_core, core_next = nwl, nwr      # label moved right into nwr
             new = env_extend(near_arr, near_sig, x_shift, nwl,
-                             fromleft=True, out_dtype=env_dtype)
+                             fromleft=True)
         else:
             fixed_core, core_next = nwr, nwl      # label moved left into nwl
             new = env_extend(near_arr, near_sig, x_shift, nwr,
-                             fromleft=False, out_dtype=env_dtype)
+                             fromleft=False)
 
         stats = jnp.zeros((step_ops.stats_len(npass),), jnp.float32)
+        stats = stats.at[step_ops.S_AUX].set(aux)
+        stats = stats.at[step_ops.S_REPLACED].set(rejected.astype(jnp.float32))
         stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
         stats = stats.at[step_ops.S_TRUNCERR].set(truncerr)
         stats = stats.at[step_ops.S_COST].set(cost)

@@ -69,7 +69,7 @@ class SegResult(NamedTuple):
 @partial(jax.jit,
          static_argnames=("t0", "T", "far_off", "emit_off", "forward", "method",
                           "npass", "report", "env_dtype", "mxu_dtype",
-                          "svd_method", "damp"),
+                          "svd_method", "damp", "monotone", "shift_report"),
          donate_argnums=(0, 5, 6))
 def fixed_segment(cores_st,               # [N, pad, d, pad] donated
                   cur_core,               # [pad, d, pad]
@@ -82,7 +82,9 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
                   t0: int, T: int, far_off: int, emit_off: int,
                   forward: bool, method: str, npass: int,
                   report: bool, env_dtype=None, mxu_dtype=None,
-                  svd_method: str = "gram", damp: bool = False) -> SegResult:
+                  svd_method: str = "gram", damp: bool = False,
+                  monotone: bool = False,
+                  shift_report: bool = False) -> SegResult:
     """Scan bonds t0..t0+T-1 (forward) or reversed, all label-free active pairs.
 
     Per bond t: far wing = far_buf[t - far_off]; absorbed core = cores_st
@@ -113,7 +115,9 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xl, xr, Y, lam, cconv,
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=False, mxu_dtype=mxu_dtype,
-                              fast_exact=(method == "fast_conj_exact"))
+                              fast_exact=(method == "fast_conj_exact"),
+                              labels=labels,
+                              metrics=((shift_report or monotone) and report))
         if damp:
             alpha = hyp_f[5]
             cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
@@ -121,14 +125,36 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
             cg.B5, cutoff, maxm, minm, label_leg="none", iso_left=forward,
             method=svd_method)
 
-        if report:
+        # pre-split cost: free via the CG line-search identity for the exact
+        # recurrences; a data pass otherwise (see step.py)
+        est_pre = method in ("conj", "fast_conj_exact") and not damp
+
+        def pre_split_cost():
+            if est_pre:
+                return cg.est_cost
+            return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
+                                     labels, lam, mxu_dtype=mxu_dtype)[0]
+
+        rejected = jnp.bool_(False)
+        aux = jnp.float32(0.0)
+        if monotone:
+            (nwl, nwr, rank, truncerr, cost, per_label, ncor,
+             reg, rejected, aux) = bond_ops.monotone_accept(
+                B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
+                labels, lam, cutoff, maxm, minm, "none", forward,
+                svd_method, mxu_dtype=mxu_dtype)
+            cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
+        elif report and shift_report:
+            # shifted reporting (step.py): slots carry the INCOMING metrics,
+            # free off the CG gradient pass; the engine shifts one visit back
+            cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+            cost_pre = pre_split_cost()
+        elif report:
             newB = bond_ops.make_bond(nwl, nwr)
             cost, per_label, ncor, reg = bond_ops.quadcost(
                 newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
                 mxu_dtype=mxu_dtype)
-            cost_pre, _, _, _ = bond_ops.quadcost(
-                cg.B5, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
-                mxu_dtype=mxu_dtype)
+            cost_pre = pre_split_cost()
         else:
             cost = jnp.float32(jnp.nan)
             cost_pre = jnp.float32(jnp.nan)
@@ -137,16 +163,16 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
 
         if forward:
             fixed_core, nxt = nwl, nwr
-            new = env_extend(n_arr, n_sig, xl, nwl, fromleft=True,
-                             out_dtype=env_dtype)
+            new = env_extend(n_arr, n_sig, xl, nwl, fromleft=True)
             site_fix = t
         else:
             fixed_core, nxt = nwr, nwl
-            new = env_extend(n_arr, n_sig, xr, nwr, fromleft=False,
-                             out_dtype=env_dtype)
+            new = env_extend(n_arr, n_sig, xr, nwr, fromleft=False)
             site_fix = t + 1
 
         stats = jnp.zeros((npass_len,), jnp.float32)
+        stats = stats.at[step_ops.S_AUX].set(aux)
+        stats = stats.at[step_ops.S_REPLACED].set(rejected.astype(jnp.float32))
         stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
         stats = stats.at[step_ops.S_TRUNCERR].set(truncerr)
         stats = stats.at[step_ops.S_COST].set(cost)
@@ -182,13 +208,14 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
 @partial(jax.jit,
          static_argnames=("t", "label_leg", "forward", "method", "npass",
                           "report", "env_dtype", "mxu_dtype", "svd_method",
-                          "damp"),
+                          "damp", "monotone", "shift_report"),
          donate_argnums=(4, 5))
 def center_step(wl, wr, near_arr, near_sig, plain_buf, plain_sig,
                 xl, xr, Y, labels, hyp_f, hyp_i,
                 t: int, label_leg: str, forward: bool, method: str, npass: int,
                 report: bool, env_dtype=None, mxu_dtype=None,
-                svd_method: str = "gram", damp: bool = False):
+                svd_method: str = "gram", damp: bool = False,
+                monotone: bool = False, shift_report: bool = False):
     """One of the two label-core bonds (c-1, c): a fused_bond_step whose far wing
     comes from plain_buf[t] and whose emission overwrites the same row in place
     (donated)."""
@@ -199,12 +226,15 @@ def center_step(wl, wr, near_arr, near_sig, plain_buf, plain_sig,
     else:
         LE, lsc, RE, rsc = far_a, far_s, near_arr, near_sig
     key = jnp.zeros((1,), jnp.uint32)
+    # env_dtype=None: the shifted wing feeds the next segment's f32 CARRY
+    # (stored buffer rows quantize at the .at[t].set below)
     nwl, nwr, env_arr, env_sig, stats = step_ops.fused_bond_step(
         wl, wr, LE, lsc, RE, rsc, xl, xr, Y, labels, hyp_f, hyp_i, key,
         label_leg=label_leg, iso_left=forward, method=method, npass=npass,
         check_r0=False, report=report, use_noise=False,
-        env_dtype=env_dtype, mxu_dtype=mxu_dtype, svd_method=svd_method,
-        replace=False, damp=damp)
+        env_dtype=None, mxu_dtype=mxu_dtype, svd_method=svd_method,
+        replace=False, damp=damp, monotone=monotone,
+        shift_report=shift_report)
     plain_buf = plain_buf.at[t].set(near_arr.astype(plain_buf.dtype))
     plain_sig = plain_sig.at[t].set(near_sig)
     return nwl, nwr, env_arr, env_sig, plain_buf, plain_sig, stats
@@ -227,13 +257,14 @@ def init_fixed_wings(cores_st, label_core, xs, nb: int, c: int, env_dtype=None):
 
     def extend_emit(cr, inp):
         core, x = inp
-        out = env_extend(cr[0], cr[1], x, core, fromleft=False,
-                         out_dtype=env_dtype)
-        return out, out   # emit POST-extension: wing covering this site..
+        # f32 carry; emitted rows quantize ONCE (per-site re-quantization
+        # compounds bf16 rounding over the chain — see segment.init_right_wings)
+        out = env_extend(cr[0], cr[1], x, core, fromleft=False)
+        return out, (out[0].astype(dt), out[1])
 
     # plain wings: extend over sites N-1 down to c+1; the wing covering site j..
     # is the far wing at bond j-2 -> rows c-1..N-3; row N-2 is the edge.
-    carry = _edge(nb, pad, env_dtype)
+    carry = _edge(nb, pad, None)
     lab_gate, (pe, ps) = lax.scan(extend_emit, carry,
                                   (cores_st[c + 1:], xs[c + 1:]), reverse=True)
     plain_buf = jnp.zeros((n - 1, nb, pad), dt)
@@ -244,7 +275,7 @@ def init_fixed_wings(cores_st, label_core, xs, nb: int, c: int, env_dtype=None):
 
     # cross the label core (site c): wing covering c.. = far wing at bond c-2
     lab = env_extend(lab_gate[0], lab_gate[1], xs[c], label_core,
-                     fromleft=False, out_dtype=env_dtype)
+                     fromleft=False)
     labeled_buf = jnp.zeros((R, nb, 10, pad), dt)
     labeled_sig = jnp.zeros((R, nb), jnp.float32)
     labeled_buf = labeled_buf.at[c - 2].set(unsqueeze_env(lab[0]).astype(dt))

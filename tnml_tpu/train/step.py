@@ -38,14 +38,16 @@ def stats_len(npass: int) -> int:
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
                                    "check_r0", "report", "use_noise", "ntarget",
                                    "env_dtype", "mxu_dtype", "svd_method",
-                                   "replace", "damp"))
+                                   "replace", "damp", "monotone",
+                                   "shift_report"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i, key,
                     label_leg: str, iso_left: bool, method: str, npass: int,
                     check_r0: bool, report: bool, use_noise: bool = False,
                     ntarget: int = 10, env_dtype=None, mxu_dtype=None,
                     svd_method: str = "gram", replace: bool = False,
-                    damp: bool = False):
+                    damp: bool = False, monotone: bool = False,
+                    shift_report: bool = False):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
@@ -64,16 +66,26 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
 
     B5 = bond_ops.make_bond(wl, wr)
     aux = jnp.float32(0.0)
+    if shift_report and (monotone or replace or use_noise
+                         or method not in ("conj", "fast_conj",
+                                           "fast_conj_exact")):
+        raise ValueError("shift_report needs a plain CG method (the incoming "
+                         "metrics come off the CG gradient pass)")
     if method in ("conj", "fast_conj", "fast_conj_exact"):
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
                               npass=npass, fast=method.startswith("fast"),
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
-                              fast_exact=(method == "fast_conj_exact"))
+                              fast_exact=(method == "fast_conj_exact"),
+                              labels=labels,
+                              metrics=((shift_report or monotone) and report))
     elif method == "exact":
         Bex = solvers.exact_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0], lam, pcut)
         cg = bond_ops.CGResult(Bex, jnp.int32(0), jnp.float32(0.0),
                                jnp.zeros((npass,), jnp.float32),
-                               jnp.zeros((npass,), jnp.float32))
+                               jnp.zeros((npass,), jnp.float32),
+                               jnp.float32(jnp.nan), jnp.float32(jnp.nan),
+                               jnp.zeros((10,), jnp.float32), jnp.int32(-1),
+                               jnp.float32(0.0))
     elif method == "pinv":
         # reference quirk preserved: pinv's solution is only REPORTED (its cost
         # lands in the AUX stats slot); the kept update comes from a conj
@@ -107,16 +119,43 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
             cg.B5, cutoff, maxm, minm, label_leg=label_leg, iso_left=iso_left,
             method=svd_method)
 
+    # the pre-split cost of the optimizer output is FREE for the CG methods with
+    # exact recurrences (cg.est_cost via the line-search identity) — a full data
+    # pass per bond otherwise; damping invalidates the identity (blended B)
+    est_pre = method in ("conj", "fast_conj_exact") and not damp
+
+    def pre_split_cost():
+        if est_pre:
+            return cg.est_cost
+        return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xc, x1, Y, labels,
+                                 lam, mxu_dtype=mxu_dtype)[0]
+
     replaced = jnp.bool_(False)
-    if replace or report:
+    if monotone:
+        if use_noise or replace:
+            raise ValueError("monotone acceptance excludes noise and replace")
+        (nwl, nwr, rank, truncerr, cost, per_label, ncor,
+         reg, replaced, aux) = bond_ops.monotone_accept(
+            B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xc, x1, Y,
+            labels, lam, cutoff, maxm, minm, label_leg, iso_left, svd_method,
+            mxu_dtype=mxu_dtype)
+        cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
+    elif report and shift_report:
+        # shifted reporting: the cost stats slots carry the INCOMING bond's
+        # metrics (free off the CG gradient pass).  By gauge invariance these
+        # equal the PREVIOUS visit's post-split metrics, so the engine shifts
+        # the whole group back one visit when building the history — the
+        # reference's per-bond post-SVD report (fixedL.cc:532) with no
+        # dedicated post-split data pass (~2 ms/bond at the full set).
+        cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+        cost_pre = pre_split_cost()
+    elif replace or report:
         newB = bond_ops.make_bond(nwl, nwr)
         cost, per_label, ncor, reg = bond_ops.quadcost(
             newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
         # pre-split cost of the optimizer output, for the reference's ">10%
         # larger C after SVD" truncation-regression check (fixedL.cc:523-533)
-        cost_pre, _, _, _ = bond_ops.quadcost(
-            cg.B5, LE, lsc, RE, rsc, xc, x1, Y, labels, lam,
-            mxu_dtype=mxu_dtype)
+        cost_pre = pre_split_cost()
     else:
         cost = jnp.float32(jnp.nan)
         cost_pre = jnp.float32(jnp.nan)
