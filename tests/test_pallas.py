@@ -78,3 +78,42 @@ def test_engine_accepts_site_major_device_features():
     ca = float(a.quadcost(0)[0])
     cb = float(b.quadcost(0)[0])
     assert ca == pytest.approx(cb, rel=1e-6)
+
+
+@pytest.mark.parametrize("J", [10, 1])
+def test_cg_solve_kernel_matches_cg_bond(J):
+    """The fused full-CG-solve kernel (ops/cg_kernel.py) against bond.cg_bond
+    (fast_conj_exact) in interpret mode.  The kernel feeds the MXU bf16
+    operands (the headline precision='default' configuration), so the solution
+    agrees to bf16 tolerance while the scalar chain (cost0, passes) is f32."""
+    from tnml_tpu.ops import cg_kernel
+    from tnml_tpu.train import bond as bond_ops
+
+    rng = np.random.default_rng(3)
+    B, m, d, npass = 40, 6, 2, 3
+    B5 = jnp.asarray(rng.normal(size=(m, d, d, m, J)), jnp.float32) / (m * d)
+    LE = jnp.asarray(rng.normal(size=(B, m)), jnp.float32) / np.sqrt(m)
+    RE = jnp.asarray(rng.normal(size=(B, m)), jnp.float32) / np.sqrt(m)
+    sigL = jnp.asarray(rng.normal(size=B) * 0.1, jnp.float32)
+    sigR = jnp.asarray(rng.normal(size=B) * 0.1, jnp.float32)
+    xc = jnp.asarray(rng.normal(size=(d, B)), jnp.float32)
+    x1 = jnp.asarray(rng.normal(size=(d, B)), jnp.float32)
+    Y = jnp.asarray(np.eye(J)[rng.integers(0, J, B) % J], jnp.float32)
+    lam, cconv = jnp.float32(1e-3), jnp.float32(1e-10)
+
+    ref = bond_ops.cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
+                           npass=npass, fast=True, check_r0=False,
+                           fast_exact=True)
+    out = cg_kernel.cg_solve(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
+                             npass=npass, check_r0=False, tb=16,
+                             interpret=True)
+    B5k, passes, r0, costs, rnorms, cost0, fcost = out
+    assert int(passes) == int(ref.passes)
+    assert float(cost0) == pytest.approx(float(ref.cost0), rel=2e-3)
+    assert float(r0) == pytest.approx(float(ref.r0norm), rel=2e-3)
+    assert float(fcost) == pytest.approx(float(ref.est_cost), rel=3e-2)
+    scale = float(jnp.max(jnp.abs(ref.B5)))
+    err = float(jnp.max(jnp.abs(ref.B5 - B5k))) / scale
+    assert err < 5e-2, err
+    np.testing.assert_allclose(np.asarray(rnorms), np.asarray(ref.rnorms),
+                               rtol=5e-2)
