@@ -39,7 +39,7 @@ t0 = time.time()
 seen = [0]
 
 def hook(sw, eng, history):
-    acc = ev.evaluate(eng.packed()).accuracy
+    acc = ev.evaluate_engine(eng).accuracy
     best[0] = max(best[0], acc)
     c = history[-1].cost / eng.nt if history else float("nan")
     new = history[seen[0]:]

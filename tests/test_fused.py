@@ -120,3 +120,28 @@ def test_two_axis_mesh_matches_unsharded():
     e2.init_envs()
     h2 = e2.run(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
     assert h1[-1].cost == pytest.approx(h2[-1].cost, rel=1e-3)
+
+
+def test_evaluator_engine_matches_packed():
+    """evaluate_engine contracts the fused DEVICE stacks directly; must agree
+    with the packed-cores path for both fused layouts."""
+    from tests.test_engine import make_problem
+    from tnml_tpu.eval.fulltest import Evaluator
+    from tnml_tpu.mps.core import MPS
+    from tnml_tpu.mps.pack import pack
+    from tnml_tpu.train.engine import SweepEngine
+    from tnml_tpu.train.schedule import Sweeps
+
+    for label_site, mode in ((1, "moving"), (3, "fixed")):
+        W, X, labels = make_problem(n=7, batch=12, label_site=label_site,
+                                    seed=5)
+        if mode == "moving":
+            W.move_label(0, cutoff=1e-12, maxm=8)
+        eng = SweepEngine(pack(W, pad=8), X, labels, lam=1e-3, npass=2,
+                          label_mode=mode)
+        eng.run_fused(Sweeps.constant(1, 2, 8, 1e-10), verbose=False)
+        ev = Evaluator(X, labels)
+        a = ev.evaluate_engine(eng)
+        b = ev.evaluate(eng.packed())
+        np.testing.assert_array_equal(a.predictions, b.predictions)
+        assert a.n_correct == b.n_correct

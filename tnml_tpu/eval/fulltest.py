@@ -172,6 +172,22 @@ class Evaluator:
         P, _ = _contract_packed(packed, self.xs, self.nb, self.dtype)
         return _report(np.abs(np.asarray(P)), self.labels)
 
+    def evaluate_engine(self, eng) -> TestReport:
+        """Evaluate a live engine; after fused sweeps this contracts the
+        stacked DEVICE buffers directly (no 180 MB core fetch + re-upload per
+        evaluation — the dotest-per-sweep path at full scale)."""
+        stacks = None
+        if hasattr(eng, "fused_eval_stacks"):
+            stacks = eng.fused_eval_stacks()
+        if stacks is None:
+            return self.evaluate(eng.packed())
+        pre, wlab, post = stacks
+        k = pre.shape[0]
+        edge = edge_env(self.nb, eng.pad, self.dtype)
+        P, _ = _contract_labeled(pre, wlab, post, self.xs[:k], self.xs[k],
+                                 self.xs[k + 1:], edge[0], edge[1])
+        return _report(np.abs(np.asarray(P)), self.labels)
+
 
 def separate_full_test(ws: Sequence[MPS], X: np.ndarray,
                        labels: np.ndarray) -> TestReport:

@@ -307,7 +307,7 @@ class FixedLModel:
                                        verbose=verbose)
             self.w = unpack(eng.packed())
             if evaluator is not None:
-                rep = evaluator.evaluate(eng.packed())
+                rep = evaluator.evaluate_engine(eng)
                 if verbose:
                     print(f"Sweep {sw + 1} test accuracy = "
                           f"{rep.accuracy * 100.0:.2f}% "

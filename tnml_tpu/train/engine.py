@@ -413,6 +413,7 @@ class SweepEngine:
         sweep's bulk stats fetch (the numbers are identical; only the moment they
         print differs from the reference's streaming output)."""
         self._sync_fused()
+        self._fs_state = None   # the per-bond loop mutates self.cores directly
         if not len(self.env):
             self.init_envs()
         history: List[BondStats] = []
@@ -616,6 +617,7 @@ class SweepEngine:
                         msg += f", rejected bonds {nrej}"
                 print(msg)
         self._fused_dirty = "moving"
+        self._fs_state = "moving"
         return history
 
     def _final_metrics_perbond(self):
@@ -679,6 +681,24 @@ class SweepEngine:
             jnp.float32(self.lam)))
         return (float(cost), np.asarray(pl, np.float32), float(ncor),
                 float(reg))
+
+    def fused_eval_stacks(self):
+        """(pre, label_core, post) device stacks of the CURRENT model straight
+        from the fused buffers — no host round-trip — or None when the fused
+        state is not the source of truth.  Feeds eval.fulltest's batched
+        contraction (Evaluator.evaluate_engine)."""
+        state = getattr(self, "_fs_state", None)
+        if state == "moving":
+            fs = self._fs
+            pre = jnp.zeros((0, self.pad, fs["carry"].shape[1], self.pad),
+                            self.dtype)
+            return pre, fs["carry"], fs["next_cores"]
+        if state == "fixed":
+            fx = self._fsx
+            c = self.label_site
+            pre = jnp.concatenate([fx["trav"][None], fx["cores_st"][1:c]])
+            return pre, fx["label_core"], fx["cores_st"][c + 1:]
+        return None
 
     def _fused_writeback(self) -> None:
         """Sync the stacked fused state back into self.cores (label at core 0)."""
@@ -774,6 +794,7 @@ class SweepEngine:
                         msg += f", rejected bonds {nrej}"
                 print(msg)
         self._fused_dirty = "fixed"
+        self._fs_state = "fixed"
         return history
 
     def _fused_fixed_half(self, fx, forward: bool, common):
