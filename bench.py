@@ -102,16 +102,13 @@ def main() -> int:
                          "(bf16|f32)")
     eng = model.make_engine(X, labels, cfg, pad=maxm)
     eng.env_dtype = env_dtype
-    if label_mode != "moving":
-        # the scan-fused engine builds its own wing stacks; the per-bond env
-        # table would double HBM
-        t0 = time.time()
-        eng.init_envs()
-        jax.block_until_ready(eng.env.get(2)[0])
-        print(f"[bench] env init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     sweeps1 = Sweeps.constant(1, min(10, maxm), maxm, 1e-10)
-    run = eng.run_fused if label_mode == "moving" else eng.run
+    # both layouts run scan-fused (segment.py / segment_fixed.py); the fixed
+    # layout's labelled wing buffer is 10x wider, so its single-chip batch cap
+    # is ~10-12k images (the full set is the v5e-8 dp=8 configuration —
+    # tests/test_fused_fixed.py::test_hbm_model_v5e8_full_mnist)
+    run = eng.run_fused
     t0 = time.time()
     run(sweeps1, verbose=False)
     warm = time.time() - t0
