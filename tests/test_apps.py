@@ -157,3 +157,26 @@ def test_keep_best_and_maxm_schedule(tmp_path, small_datadir, capsys):
     assert "max m = 6" in out           # first sweep capped by the schedule
     assert "[keep_best] restoring" in out
     assert (tmp_path / "W").exists()
+
+
+def test_fixedl_dotest_keep_best_and_profile(tmp_path, small_datadir, capsys):
+    """dotest=yes evaluates the held-out set per sweep; keep_best then selects
+    the best-test-accuracy sweep checkpoint; profile=<dir> writes a
+    jax.profiler trace artifact covering the sweeps."""
+    from tnml_tpu.apps import fixedL
+
+    prof = tmp_path / "prof"
+    inp = write_input(tmp_path / "inp", datadir=small_datadir, Ntrain=10,
+                      maxm=8, Nsweep=2, Npass=2, ninitial=2,
+                      cutoff="1E-10", **{"lambda": "1E-4"},
+                      dotest="yes", keep_best="yes", Ntest=30,
+                      profile=str(prof))
+    assert run_in(tmp_path, fixedL.main, inp) == 0
+    out = capsys.readouterr().out
+    import re
+    accs = re.findall(r"Sweep \d+ test accuracy = ([\d.]+)%", out)
+    assert len(accs) == 2, out
+    assert "keep_best" in out
+    # a trace artifact landed under the profile dir
+    found = [p for p in prof.rglob("*") if p.is_file()]
+    assert found, f"no profiler artifacts in {prof}"
