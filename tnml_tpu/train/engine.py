@@ -568,6 +568,9 @@ class SweepEngine:
             cutoff = float(sweeps.cutoff[sw])
             if maxm > self.pad:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
+            if float(sweeps.noise[sw]) >= 1e-14:
+                raise ValueError("fused sweeps do not support the noise term; "
+                                 "use the per-bond engine (run)")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
             t0 = time.perf_counter()
             # bond-aligned ping-pong: each half-sweep's ys ARE the next one's xs
@@ -759,6 +762,9 @@ class SweepEngine:
             cutoff = float(sweeps.cutoff[sw])
             if maxm > self.pad:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
+            if float(sweeps.noise[sw]) >= 1e-14:
+                raise ValueError("fused sweeps do not support the noise term; "
+                                 "use the per-bond engine (run)")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
             t0 = time.perf_counter()
             visit = []
