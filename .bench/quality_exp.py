@@ -10,7 +10,8 @@ from tnml_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 from tnml_tpu.data.mnist import TRAIN, TEST, read_mnist
 from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
-from tnml_tpu.ops.feature import FEATURE_SERIES, featurize
+from tnml_tpu.ops import feature as feat
+from tnml_tpu.ops.feature import featurize
 from tnml_tpu.eval.fulltest import Evaluator
 
 tag, nt, nsweep, npass = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
@@ -20,11 +21,14 @@ alpha = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
 prec = sys.argv[9] if len(sys.argv) > 9 else None
 label_mode = sys.argv[10] if len(sys.argv) > 10 else "moving"
 monotone = bool(int(sys.argv[11])) if len(sys.argv) > 11 else False
+feature = sys.argv[12] if len(sys.argv) > 12 else "series"
+d = int(sys.argv[13]) if len(sys.argv) > 13 else 2
+rescale = float(sys.argv[14]) if len(sys.argv) > 14 else 1.0 / 255.0
 
 tr = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=nt, verbose=False)
 te = read_mnist("/root/reference/mllib/MNIST", TEST, nt=1000, verbose=False)
-X = featurize(tr.images, FEATURE_SERIES, d=2)
-Xte = featurize(te.images, FEATURE_SERIES, d=2)
+X = featurize(tr.images, feature, d=d, rescale=rescale)
+Xte = featurize(te.images, feature, d=d, rescale=rescale)
 cfg = FixedLConfig(nsweep=nsweep, maxm=max(ramp), cutoff=1e-10, lam=lam, alpha=alpha,
                    npass=npass, cconv=cconv, method="fast_conj_exact",
                    label_mode=label_mode, pad=max(ramp), maxm_schedule=ramp,

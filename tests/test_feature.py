@@ -40,3 +40,19 @@ def test_featurize_shape():
     imgs = np.random.default_rng(0).uniform(size=(4, 9)).astype(np.float32)
     X = featurize(imgs, FEATURE_NORMAL)
     assert X.shape == (4, 9, 2) and X.dtype == np.float32
+
+
+def test_spin_map_generalizes_normal():
+    """'spin' is the paper's spin-(d-1)/2 coherent-state map (arXiv:1605.05775
+    Eq. 8): unit-norm for every x, and exactly 'normal' at d=2."""
+    import numpy as np
+    from tnml_tpu.ops.feature import FEATURE_NORMAL, FEATURE_SPIN, phi
+
+    x = np.linspace(0.0, 1.0, 11)
+    np.testing.assert_allclose(phi(x, FEATURE_SPIN, d=2, rescale=1.0),
+                               phi(x, FEATURE_NORMAL, d=2, rescale=1.0),
+                               atol=1e-7)
+    for d in (2, 3, 5):
+        out = phi(x, FEATURE_SPIN, d=d, rescale=1.0)
+        assert out.shape == (11, d)
+        np.testing.assert_allclose((out ** 2).sum(-1), 1.0, atol=1e-6)

@@ -22,6 +22,7 @@ import numpy as np
 
 FEATURE_NORMAL = "normal"
 FEATURE_SERIES = "series"
+FEATURE_SPIN = "spin"
 
 REFERENCE_RESCALE = 1.0 / 255.0  # the double-/255 quirk, on by default for parity
 
@@ -39,13 +40,26 @@ def phi(x: np.ndarray, feature: str = FEATURE_NORMAL, d: int = 2,
     x = x * rescale
     if feature == FEATURE_NORMAL:
         if d != 2:
-            raise ValueError("'normal' feature map requires d=2")
+            raise ValueError("'normal' feature map requires d=2 (use 'spin' "
+                             "for the d-dim generalization)")
         out = np.stack([np.cos(np.pi / 2.0 * x), np.sin(np.pi / 2.0 * x)], axis=-1)
+    elif feature == FEATURE_SPIN:
+        # the paper's spin-(d-1)/2 coherent-state map (arXiv:1605.05775 Eq. 8):
+        # phi_k = sqrt(C(d-1, k-1)) cos(pi x/2)^(d-k) sin(pi x/2)^(k-1).
+        # Reduces exactly to 'normal' at d=2; |phi| = 1 for every x.
+        from math import comb
+
+        c = np.cos(np.pi / 2.0 * x)
+        sn = np.sin(np.pi / 2.0 * x)
+        out = np.stack(
+            [np.sqrt(float(comb(d - 1, k - 1))) * c ** (d - k) * sn ** (k - 1)
+             for k in range(1, d + 1)], axis=-1)
     elif feature == FEATURE_SERIES:
         powers = np.arange(d, dtype=np.float64)
         out = (x[..., None] / 4.0) ** powers
     else:
-        raise ValueError(f"feature type {feature!r} not recognized (normal|series)")
+        raise ValueError(
+            f"feature type {feature!r} not recognized (normal|spin|series)")
     return out.astype(np.float32)
 
 
