@@ -33,14 +33,25 @@ def load_config(argv) -> Config:
 
 
 def rescale_from(cfg: Config) -> float:
-    """'reference' keeps the double-/255 quirk (default); 'fixed' feeds phi the true
-    [0,1] pixel (SURVEY.md §2 behavioral quirk)."""
+    """'reference' keeps the double-/255 quirk (default); 'fixed' feeds phi the
+    true [0,1] pixel; a number scales pixels by that factor before phi.
+
+    The double-/255 is load-bearing, not just a quirk: it keeps every site's
+    feature vector near (1, eps) so the 784-site product state stays
+    well-conditioned — with true [0,1] pixels the cos/sin map's training
+    gradient vanishes at this chain length (the reference README's own
+    caveat).  Intermediate values trade signal strength against that
+    conditioning."""
     mode = cfg.get_string("rescale", "reference")
     if mode == "reference":
         return REFERENCE_RESCALE
     if mode == "fixed":
         return 1.0
-    raise ValueError(f"rescale={mode!r} not recognized (reference|fixed)")
+    try:
+        return float(mode)
+    except ValueError:
+        raise ValueError(
+            f"rescale={mode!r} not recognized (reference|fixed|<float>)")
 
 
 def load_features(cfg: Config, split: str, feature: str,
