@@ -725,6 +725,21 @@ class SweepEngine:
         from tnml_tpu.train import segment_fixed as segf
 
         c = self.label_site
+        # preflight the dominant buffer instead of dying in the compiler: the
+        # bond-aligned labelled wing buffer is R x [B, 10, pad]
+        nl = self.model.n_labels or 10
+        R = max(c - 1, self.n - 2 - c)
+        itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
+        lab_gb = R * self.nt * nl * self.pad * itemsize / 2**30
+        plain_gb = (self.n - 1) * self.nt * self.pad * itemsize / 2**30
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if lab_gb + plain_gb > 13.0 and self.sharding is None and on_tpu:
+            raise ValueError(
+                f"fixed-label fused buffers need ~{lab_gb + plain_gb:.1f} GB "
+                f"({lab_gb:.1f} GB labelled wings + {plain_gb:.1f} GB plain) — "
+                "beyond one 16 GB chip. Shard the batch over a mesh (dp=...), "
+                "reduce Ntrain/pad, or run out-of-core via the per-bond engine "
+                "with offload=host|spool (the reference's Nbatch semantics).")
         # site-aligned plain core stack; the label core (rank 4) rides separately
         zeros = jnp.zeros_like(self.cores[0 if c != 0 else 1])
         rows = [self.cores[j] if j != c else zeros for j in range(self.n)]
