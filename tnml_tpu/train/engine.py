@@ -324,8 +324,17 @@ class SweepEngine:
             label_leg = "right" if direction > 0 else "left"
         else:
             label_leg = {"coreL": "left", "coreR": "right"}.get(case, "none")
-        self._key_counter += 1
-        key = np.asarray([self._key_counter], dtype=np.uint32)
+        # the key seeds pinv's random sketch only; for every other method pass
+        # a cached DEVICE array — a fresh numpy key per bond is a host->device
+        # upload, i.e. a full tunnel round-trip per bond on networked TPUs
+        # (measured ~100 ms/bond of pure dispatch)
+        if self.method == "pinv":
+            self._key_counter += 1
+            key = jnp.asarray([self._key_counter], dtype=jnp.uint32)
+        else:
+            if not hasattr(self, "_key0"):
+                self._key0 = jnp.zeros((1,), jnp.uint32)
+            key = self._key0
         wl, wr, env_arr, env_sig, stats = step_ops.fused_bond_step(
             self.cores[b], self.cores[b + 1],
             le[0], le[1], re[0], re[1],
