@@ -9,12 +9,23 @@ file-backed spool (native/tnml_native.cc) — the ``Nbatch`` capability, re-home
 Access pattern per bond b: read sites b-1 and b+2, write site b — the write is re-read
 at bond b+1 and again in the opposite half-sweep, so a +-``keep``-site device window
 captures all same-half reuse and everything else streams.
+
+Demotions are deferred by a small pending window (a wing written at bond b and
+re-read at b+1 is served from the still-resident device buffer instead of a
+demote+promote round trip), and promotions speculatively stage the next host
+wing in sweep order via ``device_put``.  On hosts with locally attached TPUs
+``device_put`` is asynchronous, so the staged upload overlaps the bond's
+compute; through this environment's remote-TPU tunnel every transfer is a
+synchronous ~40-80 ms round trip regardless (measured), which bounds the
+out-of-core path at ~2 transfers/bond there.  (jax's ``copy_to_host_async``
+is deliberately NOT used: through the tunnel it poisons the later
+``np.asarray`` — 188 s for an 80 KB array, measured.)
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -55,10 +66,18 @@ class OffloadEnvStore(DeviceEnvStore):
     (true out-of-core, bounded host RAM).
     """
 
+    # bound on wings held on device beyond the keep window (in-flight demotions
+    # + speculative promotions) — each is one wing, so residency stays O(keep)
+    MAX_PENDING = 2
+    MAX_STAGED = 2
+
     def __init__(self, keep: int = 3, spool_dir: Optional[str] = None):
         super().__init__()
         self.keep = keep
         self._host: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._pending: List[tuple] = []      # (site, dev_arr, dev_sig) d->h in flight
+        self._staged: Dict[int, tuple] = {}  # site -> (dev_arr, dev_sig) h->d in flight
+        self._last_promoted: Optional[int] = None
         self._spools: Dict[int, tuple] = {}   # slot_bytes -> (Spool, next_slot)
         self._spool_meta: Dict[int, tuple] = {}
         self._spool_dir = None
@@ -70,37 +89,80 @@ class OffloadEnvStore(DeviceEnvStore):
             self._spool_dir = spool_dir
             self._native = native
 
+    # -- promotion ----------------------------------------------------------
+
     def get(self, j: int):
         if j in self._d:
             return self._d[j]
+        for i, (k, arr, sig) in enumerate(self._pending):
+            if k == j:      # still in flight down — reuse the device buffers
+                self._pending.pop(i)
+                env = (arr, sig)
+                self._d[j] = env
+                return env
+        if j in self._staged:
+            env = self._staged.pop(j)
+            self._host.pop(j, None)
+            self._d[j] = env
+            self._prefetch_neighbor(j)
+            return env
         if j in self._host:
             arr, sig = self._host.pop(j)
             env = (jax.device_put(arr), jax.device_put(sig))
             self._d[j] = env
+            self._prefetch_neighbor(j)
             return env
         if j in self._spool_meta:
-            size_key, slot, shape, dtype, sshape = self._spool_meta.pop(j)
-            spool, _ = self._spools[size_key]
-            flat = spool.read(slot, np.empty(
-                int(np.prod(shape)) + int(np.prod(sshape)), dtype=np.float32))
-            n = int(np.prod(shape))
-            arr = flat[:n].reshape(shape).astype(dtype)
-            sig = flat[n:].reshape(sshape)
-            env = (jax.device_put(arr), jax.device_put(sig))
+            env = self._read_spool(j)
             self._d[j] = env
             return env
         raise KeyError(j)
 
+    def _prefetch_neighbor(self, j: int) -> None:
+        """Speculatively stage the next host wing in sweep order: promotions
+        walk monotonically (site b-1 or b+2 per bond), so the previous
+        promotion's position predicts the direction."""
+        step = 1
+        if self._last_promoted is not None and j < self._last_promoted:
+            step = -1
+        self._last_promoted = j
+        n = j + step
+        if (n in self._host and n not in self._staged
+                and len(self._staged) < self.MAX_STAGED):
+            arr, sig = self._host[n]
+            self._staged[n] = (jax.device_put(arr), jax.device_put(sig))
+
+    def _read_spool(self, j: int):
+        size_key, slot, shape, dtype, sshape = self._spool_meta.pop(j)
+        spool, _ = self._spools[size_key]
+        flat = spool.read(slot, np.empty(
+            int(np.prod(shape)) + int(np.prod(sshape)), dtype=np.float32))
+        n = int(np.prod(shape))
+        arr = flat[:n].reshape(shape).astype(dtype)
+        sig = flat[n:].reshape(sshape)
+        return (jax.device_put(arr), jax.device_put(sig))
+
+    # -- demotion -----------------------------------------------------------
+
     def put(self, j: int, env) -> None:
         self._d[j] = env
-        # demote device entries that left the hot window
+        # defer the device->host fetch by MAX_PENDING bonds: the wing written
+        # at bond b is re-read at bond b+1, so the pending window serves that
+        # re-read from the still-device-resident buffer instead of paying a
+        # demote+promote round trip.  (NOTE: jax's copy_to_host_async is NOT
+        # used — through the remote-TPU tunnel it poisons the later np.asarray,
+        # measured 188 s for a 80 KB array.)
         for k in [k for k in self._d if abs(k - j) > self.keep]:
-            arr, sig = self._d.pop(k)
-            host = (np.asarray(arr), np.asarray(sig))
-            if self._spool_dir is not None:
-                self._push_spool(k, host)
-            else:
-                self._host[k] = host
+            self._pending.append((k, *self._d.pop(k)))
+        while len(self._pending) > self.MAX_PENDING:
+            self._materialize(*self._pending.pop(0))
+
+    def _materialize(self, k: int, arr, sig) -> None:
+        host = (np.asarray(arr), np.asarray(sig))
+        if self._spool_dir is not None:
+            self._push_spool(k, host)
+        else:
+            self._host[k] = host
 
     def _push_spool(self, k: int, host) -> None:
         """Wings come in two sizes (labelled / plain); one spool file per size.
@@ -125,18 +187,24 @@ class OffloadEnvStore(DeviceEnvStore):
         self._spool_meta[k] = (size_key, k, arr.shape, arr.dtype, sig.shape)
 
     def __contains__(self, j: int) -> bool:
-        return j in self._d or j in self._host or j in self._spool_meta
+        return (j in self._d or j in self._host or j in self._spool_meta
+                or any(k == j for k, _, _ in self._pending))
 
     def __len__(self) -> int:
-        return len(self._d) + len(self._host) + len(self._spool_meta)
+        return (len(self._d) + len(self._host) + len(self._spool_meta)
+                + len(self._pending))
 
     def clear(self) -> None:
         super().clear()
         self._host.clear()
+        self._pending.clear()
+        self._staged.clear()
+        self._last_promoted = None
         self._spool_meta.clear()
 
     def sites(self):
-        return (set(self._d) | set(self._host) | set(self._spool_meta))
+        return (set(self._d) | set(self._host) | set(self._spool_meta)
+                | {k for k, _, _ in self._pending})
 
     def device_resident(self) -> int:
-        return len(self._d)
+        return len(self._d) + len(self._pending) + len(self._staged)
