@@ -10,16 +10,14 @@ Access pattern per bond b: read sites b-1 and b+2, write site b — the write is
 at bond b+1 and again in the opposite half-sweep, so a +-``keep``-site device window
 captures all same-half reuse and everything else streams.
 
-Demotions are deferred by a small pending window (a wing written at bond b and
-re-read at b+1 is served from the still-resident device buffer instead of a
-demote+promote round trip), and promotions speculatively stage the next host
-wing in sweep order via ``device_put``.  On hosts with locally attached TPUs
-``device_put`` is asynchronous, so the staged upload overlaps the bond's
-compute; through this environment's remote-TPU tunnel every transfer is a
-synchronous ~40-80 ms round trip regardless (measured), which bounds the
-out-of-core path at ~2 transfers/bond there.  (jax's ``copy_to_host_async``
-is deliberately NOT used: through the tunnel it poisons the later
-``np.asarray`` — 188 s for an 80 KB array, measured.)
+Demotions are deferred by a small pending window: a wing demoted at bond b
+but re-read shortly after is served from the still-resident device buffer
+instead of paying a demote+promote round trip.  Two measured non-features on
+this environment's remote-TPU tunnel, kept out deliberately: speculative
+``device_put`` prefetch (every transfer there is a synchronous ~40-80 ms
+round trip, so staging ADDS a transfer per bond instead of hiding one) and
+``copy_to_host_async`` (poisons the later ``np.asarray`` — 188 s for an
+80 KB array).
 """
 
 from __future__ import annotations
@@ -66,18 +64,15 @@ class OffloadEnvStore(DeviceEnvStore):
     (true out-of-core, bounded host RAM).
     """
 
-    # bound on wings held on device beyond the keep window (in-flight demotions
-    # + speculative promotions) — each is one wing, so residency stays O(keep)
+    # bound on wings held on device beyond the keep window (deferred
+    # demotions) — each is one wing, so residency stays O(keep)
     MAX_PENDING = 2
-    MAX_STAGED = 2
 
     def __init__(self, keep: int = 3, spool_dir: Optional[str] = None):
         super().__init__()
         self.keep = keep
         self._host: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        self._pending: List[tuple] = []      # (site, dev_arr, dev_sig) d->h in flight
-        self._staged: Dict[int, tuple] = {}  # site -> (dev_arr, dev_sig) h->d in flight
-        self._last_promoted: Optional[int] = None
+        self._pending: List[tuple] = []      # (site, dev_arr, dev_sig) deferred
         self._spools: Dict[int, tuple] = {}   # slot_bytes -> (Spool, next_slot)
         self._spool_meta: Dict[int, tuple] = {}
         self._spool_dir = None
@@ -100,37 +95,16 @@ class OffloadEnvStore(DeviceEnvStore):
                 env = (arr, sig)
                 self._d[j] = env
                 return env
-        if j in self._staged:
-            env = self._staged.pop(j)
-            self._host.pop(j, None)
-            self._d[j] = env
-            self._prefetch_neighbor(j)
-            return env
         if j in self._host:
             arr, sig = self._host.pop(j)
             env = (jax.device_put(arr), jax.device_put(sig))
             self._d[j] = env
-            self._prefetch_neighbor(j)
             return env
         if j in self._spool_meta:
             env = self._read_spool(j)
             self._d[j] = env
             return env
         raise KeyError(j)
-
-    def _prefetch_neighbor(self, j: int) -> None:
-        """Speculatively stage the next host wing in sweep order: promotions
-        walk monotonically (site b-1 or b+2 per bond), so the previous
-        promotion's position predicts the direction."""
-        step = 1
-        if self._last_promoted is not None and j < self._last_promoted:
-            step = -1
-        self._last_promoted = j
-        n = j + step
-        if (n in self._host and n not in self._staged
-                and len(self._staged) < self.MAX_STAGED):
-            arr, sig = self._host[n]
-            self._staged[n] = (jax.device_put(arr), jax.device_put(sig))
 
     def _read_spool(self, j: int):
         size_key, slot, shape, dtype, sshape = self._spool_meta.pop(j)
@@ -198,8 +172,6 @@ class OffloadEnvStore(DeviceEnvStore):
         super().clear()
         self._host.clear()
         self._pending.clear()
-        self._staged.clear()
-        self._last_promoted = None
         self._spool_meta.clear()
 
     def sites(self):
@@ -207,4 +179,4 @@ class OffloadEnvStore(DeviceEnvStore):
                 | {k for k, _, _ in self._pending})
 
     def device_resident(self) -> int:
-        return len(self._d) + len(self._pending) + len(self._staged)
+        return len(self._d) + len(self._pending)
