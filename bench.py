@@ -38,9 +38,10 @@ under which its full-set quality (87%+ test acc) was measured.  Explicit
 tiny-minor-dim wing products) — precision, not operand dtype, is the speed knob here.
 
 The JSON line also reports ``tflops_sustained``: achieved FLOP/s from the actual
-einsum schedule of the fused bond step ((npass+1) CG data passes of apply+outer at
-8*B*(m*d)^2*L flops each; the per-bond post-SVD cost report is free via shifted
-reporting, step.py), so the headline number is falsifiable against the peak.
+einsum schedule of the fused bond step ((npass+1) CG data passes of apply+outer,
+two matmuls of 2*B*(m*d)*(m*d*L) flops = 4*B*(m*d)^2*L per pass; the per-bond
+post-SVD cost report is free via shifted reporting, step.py).  The number is
+cap-checked against the detected chip's bf16 peak — exceeding it fails the run.
 """
 
 import json
@@ -131,13 +132,26 @@ def main() -> int:
     flops_per_bond = passes * 2 * 2 * NT * (maxm ** 2) * (d ** 2) * L
     ref_flops = 2 * (N - 1) * flops_per_bond
     ref_seconds = ref_flops / 50e9
-    # achieved FLOP/s of OUR schedule: (npass+1) apply+outer data passes, each two
-    # matmul stages of 2*B*(m*d)*(m*d*L).  The per-bond post-SVD cost report is
-    # FREE (shifted reporting: the next bond's CG gradient pass measures it by
-    # gauge invariance — train/step.py shift_report), so it adds no flops.
+    # achieved FLOP/s of OUR schedule: (npass+1) data passes per bond, each an
+    # apply (Lphi[B,md] @ Bmat[md,md*L]) plus an outer-gradient (Lphi^T @ U) —
+    # TWO matmuls of 2*B*(m*d)*(m*d*L) flops each, so 4*B*(md)^2*L per pass
+    # (the P-reduction and U-build between them are elementwise, train/bond.py:79-89).
+    # The per-bond post-SVD cost report is FREE (shifted reporting: the next
+    # bond's CG gradient pass measures it by gauge invariance — train/step.py
+    # shift_report), so it adds no flops.
     md = maxm * d
-    our_per_bond = (npass + 1) * 8 * NT * md * md * L
+    our_per_bond = (npass + 1) * 4 * NT * md * md * L
     tflops = our_per_bond * 2 * (N - 1) / secs / 1e12
+    # falsifiability cap: sustained FLOP/s must not exceed the chip's peak
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0,
+             "v6e": 918.0, "cpu": 10.0}
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+    if peak is not None and tflops > peak:
+        print(f"[bench] ERROR: computed {tflops:.1f} TF/s exceeds the "
+              f"{kind} bf16 peak {peak} TF/s — FLOP accounting is wrong",
+              file=sys.stderr)
+        return 1
     out = {
         "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
                   f"npass={npass}, {method}, {label_mode} label, env={env_dtype_s}, "
