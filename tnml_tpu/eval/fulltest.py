@@ -114,7 +114,7 @@ class TestReport:
         print(f"{self.n_correct}/{self.n_total} correct "
               f"({100.0 * self.accuracy:.2f}%), {ninc}/{self.n_total} incorrect "
               f"({100.0 * ninc / max(self.n_total, 1):.2f}%)")
-        for l in range(10):
+        for l in range(len(self.per_digit_total)):
             nt = int(self.per_digit_total[l])
             if nt == 0:
                 continue
@@ -126,7 +126,7 @@ class TestReport:
         if self.costs is not None:
             print("Cost functions:")
             tc = 0.0
-            for l in range(10):
+            for l in range(len(self.costs)):
                 tc += float(self.costs[l])
                 print(f"  Digit {l} C = {self.costs[l]:.20f}")
             print(f"Total C = {tc:.20f}")
@@ -145,8 +145,9 @@ def full_test(w: MPS, X: np.ndarray, labels: np.ndarray,
 def _report(weights: np.ndarray, labels: np.ndarray) -> TestReport:
     pred = weights.argmax(axis=1)              # fabs scoring, util.h:167
     correct = pred == labels
-    per_tot = np.bincount(labels, minlength=10)
-    per_cor = np.bincount(labels[correct], minlength=10)
+    nl = max(weights.shape[1], int(labels.max()) + 1 if len(labels) else 1)
+    per_tot = np.bincount(labels, minlength=nl)
+    per_cor = np.bincount(labels[correct], minlength=nl)
     return TestReport(n_total=len(labels), n_correct=int(correct.sum()),
                       per_digit_total=per_tot, per_digit_correct=per_cor,
                       predictions=pred)
@@ -205,8 +206,8 @@ def separate_full_test(ws: Sequence[MPS], X: np.ndarray,
     correct = pred == labels
     onehot = np.eye(len(ws))[labels]
     costs = ((outs - onehot) ** 2).sum(axis=0)  # (o-1)^2 own label, o^2 others
-    per_tot = np.bincount(labels, minlength=10)
-    per_cor = np.bincount(labels[correct], minlength=10)
+    per_tot = np.bincount(labels, minlength=len(ws))
+    per_cor = np.bincount(labels[correct], minlength=len(ws))
     return TestReport(n_total=nb, n_correct=int(correct.sum()),
                       per_digit_total=per_tot, per_digit_correct=per_cor,
                       predictions=pred, costs=costs)

@@ -216,7 +216,7 @@ class FixedLModel:
         c, n = eng.label_site, eng.n
         rows = max(c - 1, n - 2 - c)
         itemsize = 2 if cfg.env_dtype in ("bf16", "bfloat16") else 4
-        need = rows * eng.nt * 10 * eng.pad * itemsize
+        need = rows * eng.nt * (eng.model.n_labels or 10) * eng.pad * itemsize
         limit = float(os.environ.get("TNML_FUSED_FIXED_MAX_BYTES", 10e9))
         if need >= limit:
             if verbose:

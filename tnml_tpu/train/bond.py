@@ -113,11 +113,11 @@ class CGResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("npass", "fast", "check_r0", "mxu_dtype",
-                                   "fast_exact", "metrics"))
+                                   "fast_exact", "metrics", "nl"))
 def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
             npass: int, fast: bool = False, check_r0: bool = False,
             mxu_dtype=None, fast_exact: bool = False,
-            labels=None, metrics: bool = False) -> CGResult:
+            labels=None, metrics: bool = False, nl: int = 10) -> CGResult:
     """Optimize the bond tensor by CG against A = sum_b v_b v_b^T + lambda.
 
     ``fast=True`` uses the residual update r <- r - a·Ap (single.h:290-398,
@@ -159,7 +159,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         reg0 = lam * jnp.sum(B5 * B5)
         cost0 = jnp.sum(per_image) + reg0
         Pflat = P0.reshape(Bsz, -1)
-        onehot = jax.nn.one_hot(labels, 10, dtype=per_image.dtype)
+        onehot = jax.nn.one_hot(labels, nl, dtype=per_image.dtype)
         pl0 = onehot.T @ per_image
         pred = jnp.argmax(jnp.abs(Pflat), axis=1)
         ncor0 = jnp.where(Pflat.shape[1] > 1,
@@ -167,7 +167,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
                           jnp.int32(0))
     else:
         r0, cost0 = grad_and_cost(B5)
-        pl0 = jnp.zeros((10,), jnp.float32)
+        pl0 = jnp.zeros((nl,), jnp.float32)
         ncor0 = jnp.int32(-1)
         reg0 = jnp.float32(0.0)
     rr0 = jnp.sum(r0 * r0)
@@ -241,7 +241,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
 def monotone_accept(B5_old, nwl, nwr, rank, truncerr,
                     LE, sigL, RE, sigR, xc, x1, Y, labels, lam,
                     cutoff, maxm, minm, label_leg: str, iso_left: bool,
-                    svd_method: str, mxu_dtype=None):
+                    svd_method: str, mxu_dtype=None, nl: int = 10):
     """Per-bond monotone acceptance: reject the optimizer's update when its
     post-split cost exceeds the incoming bond's cost.
 
@@ -274,9 +274,11 @@ def monotone_accept(B5_old, nwl, nwr, rank, truncerr,
     newB = make_bond(nwl, nwr)
     oldB = make_bond(owl, owr)
     cost_new, pl_new, ncor_new, reg_new = quadcost(
-        newB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+        newB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype,
+        nl=nl)
     cost_old, pl_old, ncor_old, reg_old = quadcost(
-        oldB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+        oldB, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype,
+        nl=nl)
     rejected = cost_new > cost_old
 
     nwl = jnp.where(rejected, owl, nwl)
@@ -296,9 +298,10 @@ def monotone_accept(B5_old, nwl, nwr, rank, truncerr,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mxu_dtype",))
-def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=None):
-    """Returns (C_total, per_true_label_cost [10], n_correct, reg_cost).
+@partial(jax.jit, static_argnames=("mxu_dtype", "nl"))
+def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=None,
+             nl: int = 10):
+    """Returns (C_total, per_true_label_cost [nl], n_correct, reg_cost).
 
     ``labels`` [B] int32 true labels; per-label costs follow the reference: the FULL
     |dP|^2 of an image is charged to its true label's bucket (fixedL.cc:320).
@@ -311,11 +314,10 @@ def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=None):
     Pflat = P.reshape(Bsz, -1)
     dP = Y - Pflat
     per_image = jnp.sum(dP * dP, axis=1)
-    nl = Pflat.shape[1]
-    onehot_true = jax.nn.one_hot(labels, 10, dtype=per_image.dtype)
+    onehot_true = jax.nn.one_hot(labels, nl, dtype=per_image.dtype)
     per_label = onehot_true.T @ per_image
     pred = jnp.argmax(jnp.abs(Pflat), axis=1)
-    ncor = jnp.where(nl > 1,
+    ncor = jnp.where(Pflat.shape[1] > 1,
                      jnp.sum((pred == labels).astype(jnp.int32)),
                      jnp.int32(0))
     reg = lam * jnp.sum(B5 * B5)

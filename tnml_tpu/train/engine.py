@@ -36,8 +36,9 @@ from tnml_tpu.train.schedule import Sweeps, sweep_bonds
 # the stats slots that carry "post-split" metrics; under shifted reporting
 # (step.py shift_report) each row holds the INCOMING bond's values and the
 # host moves the group back one visit (gauge invariance makes them equal)
-_METRIC_SLOTS = [step_ops.S_COST, step_ops.S_NCOR, step_ops.S_REG] + \
-    list(range(step_ops.S_PER_LABEL, step_ops.S_PER_LABEL + 10))
+def _metric_slots(nl: int):
+    return [step_ops.S_COST, step_ops.S_NCOR, step_ops.S_REG] + \
+        list(range(step_ops.S_PER_LABEL, step_ops.S_PER_LABEL + nl))
 
 
 @dataclass
@@ -166,6 +167,10 @@ class SweepEngine:
             y = (labels == target_label).astype(np.float32)[:, None]
             self.Y = self._shard(jnp.asarray(y, dtype=dtype), batch_axis=0)
 
+        # width of the per-label stats block: the label axis for fixedL; the
+        # number of distinct true-label classes for the label-free single model
+        self.nl = model.n_labels if model.label_site is not None \
+            else int(np.max(labels)) + 1
         self.cores: List[jnp.ndarray] = list(model.cores)
         if sharding is not None and hasattr(sharding, "shard_core"):
             # tensor-parallel-style bond-dimension sharding (TwoAxisParallel)
@@ -282,7 +287,7 @@ class SweepEngine:
             report=self.report_cost, use_noise=False, ntarget=self.ntarget,
             env_dtype=None, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method, replace=self.replace,
-            damp=(self.alpha != 1.0), monotone=self.monotone)
+            damp=(self.alpha != 1.0), monotone=self.monotone, nl=self.nl)
         return lowered.compile().as_text()
 
     def quadcost(self, b: int = 0, B5: Optional[jnp.ndarray] = None):
@@ -292,7 +297,8 @@ class SweepEngine:
         le, re = self._le(b), self._re(b)
         return bond_ops.quadcost(B5, le[0], le[1], re[0], re[1],
                                  self.Xsites[b], self.Xsites[b + 1], self.Y,
-                                 self.labels, jnp.float32(self.lam))
+                                 self.labels, jnp.float32(self.lam),
+                                 nl=self.nl)
 
     def initial_report(self):
         """(cost, ncorrect) of the current model over the training set, without
@@ -347,7 +353,7 @@ class SweepEngine:
             env_dtype=None, mxu_dtype=self.mxu_dtype,
             svd_method=self.svd_method, replace=self.replace,
             damp=(self.alpha != 1.0), monotone=self.monotone,
-            shift_report=shift_report)
+            shift_report=shift_report, nl=self.nl)
         if self.sharding is not None and hasattr(self.sharding, "shard_core"):
             # GSPMD may replicate jit outputs; re-pin the bond ('mp') sharding so
             # it survives the whole sweep (dryrun asserts this)
@@ -398,7 +404,7 @@ class SweepEngine:
         print(f"Original m={st.origm}, New m={st.newm}")
         if self.report_cost:
             if self.label_site is not None:
-                for l in range(10):
+                for l in range(self.nl):
                     print(f"  Label l={l} C{l} = {st.per_label_cost[l] / self.nt:.10f}")
                 print(f"  Reg. cost CR = {st.reg / self.nt:.10f}")
                 ncor = st.ncorrect
@@ -452,13 +458,14 @@ class SweepEngine:
             fetched = np.asarray(jnp.stack([p[4] for p in pending]))
             dt = time.perf_counter() - t0
             if shift:
+                slots = _metric_slots(self.nl)
                 rows = fetched.copy()
-                rows[:-1, _METRIC_SLOTS] = fetched[1:, _METRIC_SLOTS]
+                rows[:-1, slots] = fetched[1:, slots]
                 cost, pl, ncor, reg = self._final_metrics_perbond()
                 rows[-1, step_ops.S_COST] = cost
                 rows[-1, step_ops.S_NCOR] = ncor
                 rows[-1, step_ops.S_REG] = reg
-                rows[-1, step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10] = pl
+                rows[-1, step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + self.nl] = pl
                 fetched = rows
             for (swi, b, direction, origm, _), vec in zip(pending, fetched):
                 st = self._unpack_stats(swi, b, direction, origm, vec)
@@ -490,6 +497,7 @@ class SweepEngine:
 
     def _unpack_stats(self, sweep, b, direction, origm, vec) -> BondStats:
         npass = self.npass
+        s_cg = step_ops.s_cg(self.nl)
         replaced = bool(vec[step_ops.S_REPLACED] > 0.5)
         # `replace` reverts to the literal old cores (rank = origm); a monotone
         # rejection re-splits the old bond, so S_RANK is the true new rank
@@ -504,11 +512,12 @@ class SweepEngine:
             reg=float(vec[step_ops.S_REG]),
             aux=float(vec[step_ops.S_AUX]),
             replaced=replaced,
-            per_label_cost=vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10].copy(),
+            per_label_cost=vec[step_ops.S_PER_LABEL:
+                               step_ops.S_PER_LABEL + self.nl].copy(),
             cg_passes=int(vec[step_ops.S_PASSES]),
             cg_r0=float(vec[step_ops.S_R0]),
-            cg_costs=vec[step_ops.S_CG:step_ops.S_CG + npass].copy(),
-            cg_rnorms=vec[step_ops.S_CG + npass:step_ops.S_CG + 2 * npass].copy(),
+            cg_costs=vec[s_cg:s_cg + npass].copy(),
+            cg_rnorms=vec[s_cg + npass:s_cg + 2 * npass].copy(),
         )
 
     # -- scan-fused sweeps (all families) -----------------------------------------
@@ -570,7 +579,7 @@ class SweepEngine:
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
                       damp=(self.alpha != 1.0), monotone=self.monotone,
-                      shift_report=shift)
+                      shift_report=shift, nl=self.nl)
         for sw in range(sweeps.nsweep):
             maxm = int(sweeps.maxm[sw])
             minm = int(sweeps.minm[sw])
@@ -649,16 +658,17 @@ class SweepEngine:
         if final_fn is None:
             final_fn = self._fused_final_metrics
         out = []
+        slots = _metric_slots(self.nl)
         for k, (b, direction, vec) in enumerate(visit):
             vec = vec.copy()
             if k + 1 < len(visit):
-                vec[_METRIC_SLOTS] = visit[k + 1][2][_METRIC_SLOTS]
+                vec[slots] = visit[k + 1][2][slots]
             else:
                 cost, pl, ncor, reg = final_fn()
                 vec[step_ops.S_COST] = cost
                 vec[step_ops.S_NCOR] = ncor
                 vec[step_ops.S_REG] = reg
-                vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + 10] = pl
+                vec[step_ops.S_PER_LABEL:step_ops.S_PER_LABEL + self.nl] = pl
             out.append((b, direction, vec))
         return out
 
@@ -673,7 +683,7 @@ class SweepEngine:
         cost, pl, ncor, reg = jax.device_get(bond_ops.quadcost(
             B5, e_arr, e_sig, fs["opp"][0], fs["opp_sig"][0],
             fs["xl"][0], fs["xr"][0], self.Y, self.labels,
-            jnp.float32(self.lam)))
+            jnp.float32(self.lam), nl=self.nl))
         return (float(cost), np.asarray(pl, np.float32), float(ncor),
                 float(reg))
 
@@ -690,7 +700,7 @@ class SweepEngine:
         cost, pl, ncor, reg = jax.device_get(bond_ops.quadcost(
             B5, e_arr, e_sig, fx["lab_buf"][0], fx["lab_sig"][0],
             self.Xsites[0], self.Xsites[1], self.Y, self.labels,
-            jnp.float32(self.lam)))
+            jnp.float32(self.lam), nl=self.nl))
         return (float(cost), np.asarray(pl, np.float32), float(ncor),
                 float(reg))
 
@@ -778,7 +788,7 @@ class SweepEngine:
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
                       damp=(self.alpha != 1.0), monotone=self.monotone,
-                      shift_report=shift)
+                      shift_report=shift, nl=self.nl)
         history: List[BondStats] = []
         for sw in range(sweeps.nsweep):
             maxm = int(sweeps.maxm[sw])

@@ -84,7 +84,7 @@ def init_right_wings(cores, xs, env_dtype=None):
 @partial(jax.jit, static_argnames=("forward", "method", "npass", "check_r0",
                                    "report", "env_dtype", "mxu_dtype",
                                    "svd_method", "damp", "monotone",
-                                   "shift_report"),
+                                   "shift_report", "nl"),
          donate_argnums=(1, 2, 3))
 def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                next_cores,        # [n_bonds, pad,d,pad] row t: core absorbed at bond t
@@ -94,7 +94,8 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                forward: bool, method: str, npass: int, check_r0: bool,
                report: bool, env_dtype=None, mxu_dtype=None,
                svd_method: str = "gram", damp: bool = False,
-               monotone: bool = False, shift_report: bool = False):
+               monotone: bool = False, shift_report: bool = False,
+               nl: int = 10):
     """One fused half-sweep over bonds 0..n_bonds-1 (forward) or reversed.
 
     The bond-aligned stacks live in the fori_loop CARRY and are updated in place:
@@ -109,7 +110,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
     nb = Y.shape[0]
     pad = carry_core.shape[0]
     n_bonds = next_cores.shape[0]
-    npass_len = step_ops.stats_len(npass)
+    npass_len = step_ops.stats_len(npass, nl)
     # f32 carry; stored stack rows quantize once at emission (see
     # init_right_wings — per-site re-quantization compounds over the chain)
     carry0 = _edge(nb, pad, None)
@@ -137,7 +138,8 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"),
                               labels=labels,
-                              metrics=((shift_report or monotone) and report))
+                              metrics=((shift_report or monotone) and report),
+                              nl=nl)
         if damp:
             # bond-update damping (engine.alpha -> hyp_f[5]); statically gated
             # so the default alpha=1 sweep emits no extra ops
@@ -155,7 +157,8 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
             if est_pre:
                 return cg.est_cost
             return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
-                                     labels, lam, mxu_dtype=mxu_dtype)[0]
+                                     labels, lam, mxu_dtype=mxu_dtype,
+                                     nl=nl)[0]
 
         rejected = jnp.bool_(False)
         aux = jnp.float32(0.0)
@@ -164,7 +167,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
              reg, rejected, aux) = bond_ops.monotone_accept(
                 B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
                 labels, lam, cutoff, maxm, minm, label_leg, forward,
-                svd_method, mxu_dtype=mxu_dtype)
+                svd_method, mxu_dtype=mxu_dtype, nl=nl)
             cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
         elif report and shift_report:
             # shifted reporting (step.py): cost slots carry the INCOMING
@@ -176,12 +179,12 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
             newB = bond_ops.make_bond(nwl, nwr)
             cost, per_label, ncor, reg = bond_ops.quadcost(
                 newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
-                mxu_dtype=mxu_dtype)
+                mxu_dtype=mxu_dtype, nl=nl)
             cost_pre = pre_split_cost()
         else:
             cost = jnp.float32(jnp.nan)
             cost_pre = jnp.float32(jnp.nan)
-            per_label = jnp.zeros((10,), jnp.float32)
+            per_label = jnp.zeros((nl,), jnp.float32)
             ncor, reg = jnp.int32(-1), jnp.float32(0.0)
 
         if forward:
@@ -193,7 +196,7 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
             new = env_extend(near_arr, near_sig, x_shift, nwr,
                              fromleft=False)
 
-        stats = jnp.zeros((step_ops.stats_len(npass),), jnp.float32)
+        stats = jnp.zeros((step_ops.stats_len(npass, nl),), jnp.float32)
         stats = stats.at[step_ops.S_AUX].set(aux)
         stats = stats.at[step_ops.S_REPLACED].set(rejected.astype(jnp.float32))
         stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
@@ -205,9 +208,9 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
         stats = stats.at[step_ops.S_PASSES].set(cg.passes.astype(jnp.float32))
         stats = stats.at[step_ops.S_COST_PRE].set(cost_pre)
         stats = lax.dynamic_update_slice(stats, per_label, (step_ops.S_PER_LABEL,))
-        stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.S_CG,))
+        stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.s_cg(nl),))
         stats = lax.dynamic_update_slice(stats, cg.rnorms,
-                                         (step_ops.S_CG + npass,))
+                                         (step_ops.s_cg(nl) + npass,))
         # overwrite the consumed row in place: the CARRY-IN wing is exactly the
         # row the opposite direction reads at this bond
         env_st = lax.dynamic_update_index_in_dim(

@@ -69,7 +69,8 @@ class SegResult(NamedTuple):
 @partial(jax.jit,
          static_argnames=("t0", "T", "far_off", "emit_off", "forward", "method",
                           "npass", "report", "env_dtype", "mxu_dtype",
-                          "svd_method", "damp", "monotone", "shift_report"),
+                          "svd_method", "damp", "monotone", "shift_report",
+                          "nl"),
          donate_argnums=(0, 5, 6))
 def fixed_segment(cores_st,               # [N, pad, d, pad] donated
                   cur_core,               # [pad, d, pad]
@@ -84,7 +85,7 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
                   report: bool, env_dtype=None, mxu_dtype=None,
                   svd_method: str = "gram", damp: bool = False,
                   monotone: bool = False,
-                  shift_report: bool = False) -> SegResult:
+                  shift_report: bool = False, nl: int = 10) -> SegResult:
     """Scan bonds t0..t0+T-1 (forward) or reversed, all label-free active pairs.
 
     Per bond t: far wing = far_buf[t - far_off]; absorbed core = cores_st
@@ -93,7 +94,7 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
     """
     lam, cconv, cutoff = hyp_f[0], hyp_f[1], hyp_f[2]
     maxm, minm = hyp_i[0], hyp_i[1]
-    npass_len = step_ops.stats_len(npass)
+    npass_len = step_ops.stats_len(npass, nl)
 
     def body(i, st):
         cores_st, cur, n_arr, n_sig, emit_buf, emit_sig, stats_st = st
@@ -117,7 +118,8 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
                               check_r0=False, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"),
                               labels=labels,
-                              metrics=((shift_report or monotone) and report))
+                              metrics=((shift_report or monotone) and report),
+                              nl=nl)
         if damp:
             alpha = hyp_f[5]
             cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
@@ -133,7 +135,8 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
             if est_pre:
                 return cg.est_cost
             return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
-                                     labels, lam, mxu_dtype=mxu_dtype)[0]
+                                     labels, lam, mxu_dtype=mxu_dtype,
+                                     nl=nl)[0]
 
         rejected = jnp.bool_(False)
         aux = jnp.float32(0.0)
@@ -142,7 +145,7 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
              reg, rejected, aux) = bond_ops.monotone_accept(
                 B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
                 labels, lam, cutoff, maxm, minm, "none", forward,
-                svd_method, mxu_dtype=mxu_dtype)
+                svd_method, mxu_dtype=mxu_dtype, nl=nl)
             cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
         elif report and shift_report:
             # shifted reporting (step.py): slots carry the INCOMING metrics,
@@ -153,12 +156,12 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
             newB = bond_ops.make_bond(nwl, nwr)
             cost, per_label, ncor, reg = bond_ops.quadcost(
                 newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
-                mxu_dtype=mxu_dtype)
+                mxu_dtype=mxu_dtype, nl=nl)
             cost_pre = pre_split_cost()
         else:
             cost = jnp.float32(jnp.nan)
             cost_pre = jnp.float32(jnp.nan)
-            per_label = jnp.zeros((10,), jnp.float32)
+            per_label = jnp.zeros((nl,), jnp.float32)
             ncor, reg = jnp.int32(-1), jnp.float32(0.0)
 
         if forward:
@@ -182,9 +185,9 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
         stats = stats.at[step_ops.S_PASSES].set(cg.passes.astype(jnp.float32))
         stats = stats.at[step_ops.S_COST_PRE].set(cost_pre)
         stats = lax.dynamic_update_slice(stats, per_label, (step_ops.S_PER_LABEL,))
-        stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.S_CG,))
+        stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.s_cg(nl),))
         stats = lax.dynamic_update_slice(stats, cg.rnorms,
-                                         (step_ops.S_CG + npass,))
+                                         (step_ops.s_cg(nl) + npass,))
 
         # emit the carry-in near wing (the opposite direction's far wing at t)
         emit_buf = lax.dynamic_update_index_in_dim(
@@ -208,14 +211,15 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
 @partial(jax.jit,
          static_argnames=("t", "label_leg", "forward", "method", "npass",
                           "report", "env_dtype", "mxu_dtype", "svd_method",
-                          "damp", "monotone", "shift_report"),
+                          "damp", "monotone", "shift_report", "nl"),
          donate_argnums=(4, 5))
 def center_step(wl, wr, near_arr, near_sig, plain_buf, plain_sig,
                 xl, xr, Y, labels, hyp_f, hyp_i,
                 t: int, label_leg: str, forward: bool, method: str, npass: int,
                 report: bool, env_dtype=None, mxu_dtype=None,
                 svd_method: str = "gram", damp: bool = False,
-                monotone: bool = False, shift_report: bool = False):
+                monotone: bool = False, shift_report: bool = False,
+                nl: int = 10):
     """One of the two label-core bonds (c-1, c): a fused_bond_step whose far wing
     comes from plain_buf[t] and whose emission overwrites the same row in place
     (donated)."""
@@ -234,7 +238,7 @@ def center_step(wl, wr, near_arr, near_sig, plain_buf, plain_sig,
         check_r0=False, report=report, use_noise=False,
         env_dtype=None, mxu_dtype=mxu_dtype, svd_method=svd_method,
         replace=False, damp=damp, monotone=monotone,
-        shift_report=shift_report)
+        shift_report=shift_report, nl=nl)
     plain_buf = plain_buf.at[t].set(near_arr.astype(plain_buf.dtype))
     plain_sig = plain_sig.at[t].set(near_sig)
     return nwl, nwr, env_arr, env_sig, plain_buf, plain_sig, stats
@@ -276,7 +280,7 @@ def init_fixed_wings(cores_st, label_core, xs, nb: int, c: int, env_dtype=None):
     # cross the label core (site c): wing covering c.. = far wing at bond c-2
     lab = env_extend(lab_gate[0], lab_gate[1], xs[c], label_core,
                      fromleft=False)
-    labeled_buf = jnp.zeros((R, nb, 10, pad), dt)
+    labeled_buf = jnp.zeros((R, nb, label_core.shape[-1], pad), dt)
     labeled_sig = jnp.zeros((R, nb), jnp.float32)
     labeled_buf = labeled_buf.at[c - 2].set(unsqueeze_env(lab[0]).astype(dt))
     labeled_sig = labeled_sig.at[c - 2].set(lab[1])

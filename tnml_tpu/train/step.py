@@ -24,22 +24,26 @@ from jax import lax
 
 from tnml_tpu.train import bond as bond_ops
 
-# stats vector layout
+# stats vector layout: 10 scalar slots, then nl per-label cost entries, then
+# npass CG cost entries, then npass CG |r| entries
 (S_RANK, S_TRUNCERR, S_COST, S_NCOR, S_REG, S_R0, S_PASSES, S_AUX,
  S_REPLACED, S_COST_PRE) = range(10)
-S_PER_LABEL = 10          # 10 entries
-S_CG = 20                 # npass cost entries, then npass |r| entries
+S_PER_LABEL = 10          # nl entries
 
 
-def stats_len(npass: int) -> int:
-    return S_CG + 2 * npass
+def s_cg(nl: int) -> int:
+    return S_PER_LABEL + nl
+
+
+def stats_len(npass: int, nl: int) -> int:
+    return s_cg(nl) + 2 * npass
 
 
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method", "npass",
                                    "check_r0", "report", "use_noise", "ntarget",
                                    "env_dtype", "mxu_dtype", "svd_method",
                                    "replace", "damp", "monotone",
-                                   "shift_report"))
+                                   "shift_report", "nl"))
 def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     hyp_f, hyp_i, key,
                     label_leg: str, iso_left: bool, method: str, npass: int,
@@ -47,7 +51,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                     ntarget: int = 10, env_dtype=None, mxu_dtype=None,
                     svd_method: str = "gram", replace: bool = False,
                     damp: bool = False, monotone: bool = False,
-                    shift_report: bool = False):
+                    shift_report: bool = False, nl: int = 10):
     """Returns (wl', wr', env_arr, env_sig, stats_vec).
 
     ``method``: conj | fast_conj | exact | pinv (single.h:593-605; fixedL only
@@ -77,14 +81,15 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                               check_r0=check_r0, mxu_dtype=mxu_dtype,
                               fast_exact=(method == "fast_conj_exact"),
                               labels=labels,
-                              metrics=((shift_report or monotone) and report))
+                              metrics=((shift_report or monotone) and report),
+                              nl=nl)
     elif method == "exact":
         Bex = solvers.exact_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0], lam, pcut)
         cg = bond_ops.CGResult(Bex, jnp.int32(0), jnp.float32(0.0),
                                jnp.zeros((npass,), jnp.float32),
                                jnp.zeros((npass,), jnp.float32),
                                jnp.float32(jnp.nan), jnp.float32(jnp.nan),
-                               jnp.zeros((10,), jnp.float32), jnp.int32(-1),
+                               jnp.zeros((nl,), jnp.float32), jnp.int32(-1),
                                jnp.float32(0.0))
     elif method == "pinv":
         # reference quirk preserved: pinv's solution is only REPORTED (its cost
@@ -95,9 +100,9 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         Bp, _VE = solvers.pinv_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0],
                                      lam, pcut, V0, npass=npass)
         aux, _, _, _ = bond_ops.quadcost(Bp, LE, lsc, RE, rsc, xc, x1, Y,
-                                         labels, lam)
+                                         labels, lam, nl=nl)
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
-                              npass=npass, fast=False, check_r0=check_r0)
+                              npass=npass, fast=False, check_r0=check_r0, nl=nl)
     else:
         raise ValueError(f"method {method!r} not recognized")
 
@@ -128,7 +133,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         if est_pre:
             return cg.est_cost
         return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xc, x1, Y, labels,
-                                 lam, mxu_dtype=mxu_dtype)[0]
+                                 lam, mxu_dtype=mxu_dtype, nl=nl)[0]
 
     replaced = jnp.bool_(False)
     if monotone:
@@ -138,7 +143,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
          reg, replaced, aux) = bond_ops.monotone_accept(
             B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xc, x1, Y,
             labels, lam, cutoff, maxm, minm, label_leg, iso_left, svd_method,
-            mxu_dtype=mxu_dtype)
+            mxu_dtype=mxu_dtype, nl=nl)
         cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
     elif report and shift_report:
         # shifted reporting: the cost stats slots carry the INCOMING bond's
@@ -152,14 +157,15 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
     elif replace or report:
         newB = bond_ops.make_bond(nwl, nwr)
         cost, per_label, ncor, reg = bond_ops.quadcost(
-            newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype)
+            newB, LE, lsc, RE, rsc, xc, x1, Y, labels, lam, mxu_dtype=mxu_dtype,
+            nl=nl)
         # pre-split cost of the optimizer output, for the reference's ">10%
         # larger C after SVD" truncation-regression check (fixedL.cc:523-533)
         cost_pre = pre_split_cost()
     else:
         cost = jnp.float32(jnp.nan)
         cost_pre = jnp.float32(jnp.nan)
-        per_label = jnp.zeros((10,), jnp.float32)
+        per_label = jnp.zeros((nl,), jnp.float32)
         ncor, reg = jnp.int32(-1), jnp.float32(0.0)
 
     if replace:
@@ -171,7 +177,8 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         if wl.shape != nwl.shape or wr.shape != nwr.shape:
             raise ValueError("replace=yes requires the fixed-label layout")
         oldC, _, _, _ = bond_ops.quadcost(B5, LE, lsc, RE, rsc, xc, x1, Y,
-                                          labels, lam, mxu_dtype=mxu_dtype)
+                                          labels, lam, mxu_dtype=mxu_dtype,
+                                          nl=nl)
         replaced = cost > oldC
         nwl = jnp.where(replaced, wl, nwl)
         nwr = jnp.where(replaced, wr, nwr)
@@ -186,7 +193,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         env_arr, env_sig = env_extend(RE, rsc, x1, nwr, fromleft=False,
                                       out_dtype=env_dtype)
 
-    stats = jnp.zeros((stats_len(npass),), jnp.float32)
+    stats = jnp.zeros((stats_len(npass, nl),), jnp.float32)
     stats = stats.at[S_AUX].set(aux)
     stats = stats.at[S_REPLACED].set(replaced.astype(jnp.float32))
     stats = stats.at[S_RANK].set(rank.astype(jnp.float32))
@@ -199,8 +206,8 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
     stats = stats.at[S_COST_PRE].set(cost_pre)
     stats = lax.dynamic_update_slice(stats, per_label.astype(jnp.float32),
                                      (S_PER_LABEL,))
-    stats = lax.dynamic_update_slice(stats, cg.costs, (S_CG,))
-    stats = lax.dynamic_update_slice(stats, cg.rnorms, (S_CG + npass,))
+    stats = lax.dynamic_update_slice(stats, cg.costs, (s_cg(nl),))
+    stats = lax.dynamic_update_slice(stats, cg.rnorms, (s_cg(nl) + npass,))
     return nwl, nwr, env_arr, env_sig, stats
 
 
