@@ -106,3 +106,15 @@ def test_cold_start_and_fulltest_nl4():
     rep = full_test(w, X, labels)
     assert len(rep.per_digit_total) == NL
     assert rep.per_digit_total.sum() == 40
+
+
+def test_rand_imgs_rejection_parity():
+    from tnml_tpu.utils.sampling import rand_imgs
+
+    rng = np.random.default_rng(3)
+    labels = np.array([0, 1, 1, 2, 1, 0])
+    pick = rand_imgs(rng, labels, 1, 50)
+    assert set(labels[pick]) == {1}
+    assert len(pick) == 50              # repeats allowed, like randImg
+    with pytest.raises(ValueError):
+        rand_imgs(rng, labels, 7, 1)

@@ -38,6 +38,7 @@ def main(argv=None) -> int:
         monotone=cfg.get_yesno("monotone", False),
         report_cost=cfg.get_yesno("report_cost", True),
         pad=cfg.get_int("pad", 0) or None,
+        pause_steps=cfg.get_yesno("pause_steps", False),
     )
 
     feature = cfg.get_string("feature", "normal")

@@ -45,15 +45,16 @@ def _sweep_annotation(profile_dir, sw: int):
 def cold_start(X: np.ndarray, labels: np.ndarray, *, ninitial: int = 100,
                n_labels: int = 10, seed: int = 0, verbose: bool = True) -> MPS:
     """Init path (c): sums of random same-label product states (fixedL.cc:703-728)."""
+    from tnml_tpu.utils.sampling import rand_imgs
+
     n = X.shape[1]
     c = center_site(n)
     rng = np.random.default_rng(seed)
     ipsis: List[MPS] = []
     for l in range(n_labels):
-        idx = np.flatnonzero(labels == l)
-        if len(idx) == 0:
-            raise ValueError(f"no training images with label {l}")
-        pick = rng.choice(idx, size=min(ninitial, len(idx)), replace=ninitial > len(idx))
+        # randImg rejection-sampling parity (util.h:104-121): uniform draws over
+        # the whole set rejected until the label matches; repeats possible
+        pick = rand_imgs(rng, labels, l, ninitial)
         if verbose:
             print(f"Summing {len(pick)} random label {l} states")
         psis = [product_state(X[i]) for i in pick]
@@ -241,8 +242,9 @@ class FixedLModel:
         eng = self.make_engine(X, labels, cfg, sharding=sharding,
                                env_store=env_store)
         # CG training runs scan-fused; the fixed-label layout additionally needs
-        # its 10x-wide labeled wing buffer to fit HBM (see _use_fused)
-        fused = self._use_fused(eng, cfg, verbose)
+        # its 10x-wide labeled wing buffer to fit HBM (see _use_fused).  The
+        # interactive pause gate is per-bond, so it forces the per-bond path.
+        fused = self._use_fused(eng, cfg, verbose) and not cfg.pause_step
         if fused and env_store is not None and hasattr(env_store, "device_resident"):
             # out-of-core was requested (Nbatch>1/offload) but the fused engine
             # keeps its wings in internal scan buffers — the store would sit

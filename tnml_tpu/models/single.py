@@ -41,6 +41,8 @@ class SingleConfig:
     monotone: bool = False    # reject-on-regress bond acceptance (FixedLConfig)
     report_cost: bool = True
     pad: Optional[int] = None
+    pause_steps: bool = False  # interactive per-bond gate (the reference's
+                               # pause_steps PAUSE macro, single.cc:28, single.h:684)
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
@@ -54,11 +56,11 @@ def single_cold_start(X: np.ndarray, labels: np.ndarray, target: int,
                       ninitial: int, seed: int = 0, verbose: bool = True) -> MPS:
     """Sum ninitial random target-label product states; orthogonalize; normalize
     the first core (single.cc:112-124)."""
-    idx = np.flatnonzero(labels == target)
-    if len(idx) == 0:
-        raise ValueError(f"no training images with label {target}")
+    from tnml_tpu.utils.sampling import rand_imgs
+
     rng = np.random.default_rng(seed)
-    pick = rng.choice(idx, size=min(ninitial, len(idx)), replace=ninitial > len(idx))
+    # randImg rejection-sampling parity (util.h:104-121), as in cold_start
+    pick = rand_imgs(rng, labels, target, ninitial)
     if verbose:
         print(f"Summing {len(pick)} random label {target} states")
     w = mps_sum([product_state(X[i]) for i in pick], cutoff=1e-10, maxm=10)
@@ -98,9 +100,10 @@ class SingleModel:
     def train(self, X, labels, cfg: SingleConfig, workdir: Optional[str] = ".",
               sharding=None, verbose: bool = True):
         eng = self.make_engine(X, labels, cfg, sharding=sharding)
-        # label-free CG sweeps without noise fold into the scan-fused engine
+        # label-free CG sweeps without noise fold into the scan-fused engine;
+        # the interactive pause gate is per-bond, so it forces the per-bond path
         fused = (cfg.method in ("conj", "fast_conj", "fast_conj_exact")
-                 and cfg.noise < 1e-14)
+                 and cfg.noise < 1e-14 and not cfg.pause_steps)
         if not fused:
             eng.init_envs()
         if verbose and not fused:
@@ -109,6 +112,9 @@ class SingleModel:
         history = []
 
         def control_hook(b, direction):
+            if cfg.pause_steps:
+                # the reference's per-bond PAUSE gate (single.h:684)
+                input(f"PAUSE at bond {b + 1} (Enter to continue) ")
             if workdir is None:
                 return
             ctl = ckpt.poll_control_files(workdir)
