@@ -105,89 +105,12 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
         w_next = lax.dynamic_index_in_dim(cores_st, site_absorb, keepdims=False)
         xl = lax.dynamic_index_in_dim(xs, t, keepdims=False)
         xr = lax.dynamic_index_in_dim(xs, t + 1, keepdims=False)
-        if forward:
-            wl, wr = cur, w_next
-            LE, lsc, RE, rsc = n_arr, n_sig, far_a, far_s
-        else:
-            wl, wr = w_next, cur
-            LE, lsc, RE, rsc = far_a, far_s, n_arr, n_sig
-
-        B5 = bond_ops.make_bond(wl, wr)
-        cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xl, xr, Y, lam, cconv,
-                              npass=npass, fast=method.startswith("fast"),
-                              check_r0=False, mxu_dtype=mxu_dtype,
-                              fast_exact=(method == "fast_conj_exact"),
-                              labels=labels,
-                              metrics=((shift_report or monotone) and report),
-                              nl=nl)
-        if damp:
-            alpha = hyp_f[5]
-            cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
-        nwl, nwr, rank, truncerr = bond_ops.split_bond(
-            cg.B5, cutoff, maxm, minm, label_leg="none", iso_left=forward,
-            method=svd_method)
-
-        # pre-split cost: free via the CG line-search identity for the exact
-        # recurrences; a data pass otherwise (see step.py)
-        est_pre = method in ("conj", "fast_conj_exact") and not damp
-
-        def pre_split_cost():
-            if est_pre:
-                return cg.est_cost
-            return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
-                                     labels, lam, mxu_dtype=mxu_dtype,
-                                     nl=nl)[0]
-
-        rejected = jnp.bool_(False)
-        aux = jnp.float32(0.0)
-        if monotone:
-            (nwl, nwr, rank, truncerr, cost, per_label, ncor,
-             reg, rejected, aux) = bond_ops.monotone_accept(
-                B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
-                labels, lam, cutoff, maxm, minm, "none", forward,
-                svd_method, mxu_dtype=mxu_dtype, nl=nl)
-            cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
-        elif report and shift_report:
-            # shifted reporting (step.py): slots carry the INCOMING metrics,
-            # free off the CG gradient pass; the engine shifts one visit back
-            cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
-            cost_pre = pre_split_cost()
-        elif report:
-            newB = bond_ops.make_bond(nwl, nwr)
-            cost, per_label, ncor, reg = bond_ops.quadcost(
-                newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
-                mxu_dtype=mxu_dtype, nl=nl)
-            cost_pre = pre_split_cost()
-        else:
-            cost = jnp.float32(jnp.nan)
-            cost_pre = jnp.float32(jnp.nan)
-            per_label = jnp.zeros((nl,), jnp.float32)
-            ncor, reg = jnp.int32(-1), jnp.float32(0.0)
-
-        if forward:
-            fixed_core, nxt = nwl, nwr
-            new = env_extend(n_arr, n_sig, xl, nwl, fromleft=True)
-            site_fix = t
-        else:
-            fixed_core, nxt = nwr, nwl
-            new = env_extend(n_arr, n_sig, xr, nwr, fromleft=False)
-            site_fix = t + 1
-
-        stats = jnp.zeros((npass_len,), jnp.float32)
-        stats = stats.at[step_ops.S_AUX].set(aux)
-        stats = stats.at[step_ops.S_REPLACED].set(rejected.astype(jnp.float32))
-        stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
-        stats = stats.at[step_ops.S_TRUNCERR].set(truncerr)
-        stats = stats.at[step_ops.S_COST].set(cost)
-        stats = stats.at[step_ops.S_NCOR].set(ncor.astype(jnp.float32))
-        stats = stats.at[step_ops.S_REG].set(reg)
-        stats = stats.at[step_ops.S_R0].set(cg.r0norm)
-        stats = stats.at[step_ops.S_PASSES].set(cg.passes.astype(jnp.float32))
-        stats = stats.at[step_ops.S_COST_PRE].set(cost_pre)
-        stats = lax.dynamic_update_slice(stats, per_label, (step_ops.S_PER_LABEL,))
-        stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.s_cg(nl),))
-        stats = lax.dynamic_update_slice(stats, cg.rnorms,
-                                         (step_ops.s_cg(nl) + npass,))
+        fixed_core, nxt, new, stats = plain_bond_body(
+            cur, w_next, far_a, far_s, n_arr, n_sig, xl, xr, Y, labels,
+            hyp_f, hyp_i, forward=forward, method=method, npass=npass,
+            report=report, mxu_dtype=mxu_dtype, svd_method=svd_method,
+            damp=damp, monotone=monotone, shift_report=shift_report, nl=nl)
+        site_fix = t if forward else t + 1
 
         # emit the carry-in near wing (the opposite direction's far wing at t)
         emit_buf = lax.dynamic_update_index_in_dim(
@@ -206,6 +129,102 @@ def fixed_segment(cores_st,               # [N, pad, d, pad] donated
     if not forward:
         stats_st = stats_st[::-1]   # rows in bond order t0..t0+T-1
     return SegResult(cores_st, cur, n_arr, n_sig, emit_buf, emit_sig, stats_st)
+
+
+def plain_bond_body(cur, w_next, far_a, far_s, n_arr, n_sig, xl, xr, Y, labels,
+                    hyp_f, hyp_i, *, forward: bool, method: str, npass: int,
+                    report: bool, mxu_dtype=None, svd_method: str = "gram",
+                    damp: bool = False, monotone: bool = False,
+                    shift_report: bool = False, nl: int = 10):
+    """One label-free active-pair bond step (trace-time helper, shared by
+    fixed_segment and segment_blocked): CG + truncated split + metrics + env
+    shift.  ``cur`` is the travelling core, ``w_next`` the absorbed core,
+    ``n_arr/n_sig`` the near wing, ``far_a/far_s`` the far wing.  Returns
+    (fixed_core, next_travelling_core, (new_near_arr, new_near_sig), stats)."""
+    lam, cconv, cutoff = hyp_f[0], hyp_f[1], hyp_f[2]
+    maxm, minm = hyp_i[0], hyp_i[1]
+    if forward:
+        wl, wr = cur, w_next
+        LE, lsc, RE, rsc = n_arr, n_sig, far_a, far_s
+    else:
+        wl, wr = w_next, cur
+        LE, lsc, RE, rsc = far_a, far_s, n_arr, n_sig
+
+    B5 = bond_ops.make_bond(wl, wr)
+    cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xl, xr, Y, lam, cconv,
+                          npass=npass, fast=method.startswith("fast"),
+                          check_r0=False, mxu_dtype=mxu_dtype,
+                          fast_exact=(method == "fast_conj_exact"),
+                          labels=labels,
+                          metrics=((shift_report or monotone) and report),
+                          nl=nl)
+    if damp:
+        alpha = hyp_f[5]
+        cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)
+    nwl, nwr, rank, truncerr = bond_ops.split_bond(
+        cg.B5, cutoff, maxm, minm, label_leg="none", iso_left=forward,
+        method=svd_method)
+
+    # pre-split cost: free via the CG line-search identity for the exact
+    # recurrences; a data pass otherwise (see step.py)
+    est_pre = method in ("conj", "fast_conj_exact") and not damp
+
+    def pre_split_cost():
+        if est_pre:
+            return cg.est_cost
+        return bond_ops.quadcost(cg.B5, LE, lsc, RE, rsc, xl, xr, Y,
+                                 labels, lam, mxu_dtype=mxu_dtype,
+                                 nl=nl)[0]
+
+    rejected = jnp.bool_(False)
+    aux = jnp.float32(0.0)
+    if monotone:
+        (nwl, nwr, rank, truncerr, cost, per_label, ncor,
+         reg, rejected, aux) = bond_ops.monotone_accept(
+            B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
+            labels, lam, cutoff, maxm, minm, "none", forward,
+            svd_method, mxu_dtype=mxu_dtype, nl=nl)
+        cost_pre = pre_split_cost() if report else jnp.float32(jnp.nan)
+    elif report and shift_report:
+        # shifted reporting (step.py): slots carry the INCOMING metrics,
+        # free off the CG gradient pass; the engine shifts one visit back
+        cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+        cost_pre = pre_split_cost()
+    elif report:
+        newB = bond_ops.make_bond(nwl, nwr)
+        cost, per_label, ncor, reg = bond_ops.quadcost(
+            newB, LE, lsc, RE, rsc, xl, xr, Y, labels, lam,
+            mxu_dtype=mxu_dtype, nl=nl)
+        cost_pre = pre_split_cost()
+    else:
+        cost = jnp.float32(jnp.nan)
+        cost_pre = jnp.float32(jnp.nan)
+        per_label = jnp.zeros((nl,), jnp.float32)
+        ncor, reg = jnp.int32(-1), jnp.float32(0.0)
+
+    if forward:
+        fixed_core, nxt = nwl, nwr
+        new = env_extend(n_arr, n_sig, xl, nwl, fromleft=True)
+    else:
+        fixed_core, nxt = nwr, nwl
+        new = env_extend(n_arr, n_sig, xr, nwr, fromleft=False)
+
+    stats = jnp.zeros((step_ops.stats_len(npass, nl),), jnp.float32)
+    stats = stats.at[step_ops.S_AUX].set(aux)
+    stats = stats.at[step_ops.S_REPLACED].set(rejected.astype(jnp.float32))
+    stats = stats.at[step_ops.S_RANK].set(rank.astype(jnp.float32))
+    stats = stats.at[step_ops.S_TRUNCERR].set(truncerr)
+    stats = stats.at[step_ops.S_COST].set(cost)
+    stats = stats.at[step_ops.S_NCOR].set(ncor.astype(jnp.float32))
+    stats = stats.at[step_ops.S_REG].set(reg)
+    stats = stats.at[step_ops.S_R0].set(cg.r0norm)
+    stats = stats.at[step_ops.S_PASSES].set(cg.passes.astype(jnp.float32))
+    stats = stats.at[step_ops.S_COST_PRE].set(cost_pre)
+    stats = lax.dynamic_update_slice(stats, per_label, (step_ops.S_PER_LABEL,))
+    stats = lax.dynamic_update_slice(stats, cg.costs, (step_ops.s_cg(nl),))
+    stats = lax.dynamic_update_slice(stats, cg.rnorms,
+                                     (step_ops.s_cg(nl) + npass,))
+    return fixed_core, nxt, new, stats
 
 
 @partial(jax.jit,
