@@ -106,9 +106,9 @@ def main() -> int:
 
     sweeps1 = Sweeps.constant(1, min(10, maxm), maxm, 1e-10)
     # both layouts run scan-fused (segment.py / segment_fixed.py); the fixed
-    # layout's labelled wing buffer is 10x wider, so its single-chip batch cap
-    # is ~10-12k images (the full set is the v5e-8 dp=8 configuration —
-    # tests/test_fused_fixed.py::test_hbm_model_v5e8_full_mnist)
+    # layout's labelled wing stack is 10x wider, so beyond ~10-12k images on
+    # one chip run_fused auto-routes to the sqrt-memory blocked engine
+    # (segment_blocked.py) — the full 58,862-image set runs single-chip there
     run = eng.run_fused
     t0 = time.time()
     run(sweeps1, verbose=False)

@@ -1,0 +1,88 @@
+"""Blocked (checkpointed-rebuild) fixed-label engine vs the resident fused engine.
+
+The blocked engine (train/segment_blocked.py) runs the same per-bond math as
+segment_fixed — plain_bond_body is literally shared — but rebuilds each K-bond
+block's far wings from a single boundary row instead of keeping the full
+bond-aligned stacks.  In f32 (env_dtype=None) the rebuild replays the exact
+env_extend chain the resident engine's carry performed, so the trajectories
+must agree tightly; with bf16 wing storage the boundary quantization adds one
+rounding step per block and the comparison loosens.
+"""
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+
+from tnml_tpu.mps.ops import evaluate_mps
+from tnml_tpu.mps.pack import pack, unpack
+from tnml_tpu.train.engine import SweepEngine
+from tnml_tpu.train.schedule import Sweeps
+
+from tests.test_engine import make_problem
+
+
+def _pair(n, batch, c, seed, K, **kw):
+    W, X, labels = make_problem(n=n, batch=batch, label_site=c, seed=seed)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    pad = max(16, W.max_bond())
+    a = SweepEngine(pack(W, pad=pad), X, labels, label_mode="fixed",
+                    fused_variant="resident", **kw)
+    b = SweepEngine(pack(W, pad=pad), X, labels, label_mode="fixed",
+                    fused_variant="blocked", blocked_K=K, **kw)
+    return a, b, X
+
+
+def _compare(a, b, sweeps, X, rtol=1e-5, atol=1e-7, out_rtol=1e-4,
+             out_atol=1e-5, rank_agree=0.95):
+    ha = a.run_fused(sweeps, verbose=False)
+    hb = b.run_fused(sweeps, verbose=False)
+    assert [(s.b, s.direction) for s in ha] == [(s.b, s.direction) for s in hb]
+    ca = np.array([s.cost for s in ha])
+    cb = np.array([s.cost for s in hb])
+    np.testing.assert_allclose(ca, cb, rtol=rtol, atol=atol)
+    ra = np.array([s.newm for s in ha])
+    rb = np.array([s.newm for s in hb])
+    assert (ra == rb).mean() >= rank_agree
+    Wa, Wb = unpack(a.packed()), unpack(b.packed())
+    assert Wa.label_site == Wb.label_site
+    for i in range(min(4, X.shape[0])):
+        np.testing.assert_allclose(evaluate_mps(Wa, X[i]),
+                                   evaluate_mps(Wb, X[i]),
+                                   rtol=out_rtol, atol=out_atol)
+
+
+def test_blocked_matches_resident_f32():
+    # remainder blocks on both segments (segA len 4 @ K=2; segB len 5 @ K=2)
+    a, b, X = _pair(n=12, batch=14, c=5, seed=3, K=2, lam=1e-4, npass=3)
+    _compare(a, b, Sweeps.constant(2, 2, 10, 1e-10), X)
+
+
+def test_blocked_off_center_fast_exact():
+    a, b, X = _pair(n=11, batch=10, c=7, seed=4, K=3, lam=1e-3, npass=2,
+                    method="fast_conj_exact")
+    _compare(a, b, Sweeps.constant(2, 2, 8, 1e-10), X)
+
+
+def test_blocked_bf16_wings():
+    import jax.numpy as jnp
+    a, b, X = _pair(n=10, batch=12, c=4, seed=5, K=2, lam=1e-3, npass=2,
+                    env_dtype=jnp.bfloat16)
+    # bf16 rank ties flip on quantization noise (cf. test_fused_fixed's 0.9)
+    _compare(a, b, Sweeps.constant(2, 2, 8, 1e-10), X,
+             rtol=6e-2, atol=1e-3, out_rtol=8e-2, out_atol=5e-3,
+             rank_agree=0.9)
+
+
+def test_blocked_learns_and_writes_back():
+    W, X, labels = make_problem(n=10, batch=30, label_site=4, seed=6)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    for l in range(10):
+        X[labels == l, l % 10] = [np.cos(0.1 + l * 0.15),
+                                  np.sin(0.1 + l * 0.15)]
+    eng = SweepEngine(pack(W, pad=16), X, labels, lam=1e-3, npass=3,
+                      label_mode="fixed", fused_variant="blocked", blocked_K=3)
+    h = eng.run_fused(Sweeps.constant(4, 2, 12, 1e-9), verbose=False)
+    assert h[-1].cost < 0.6 * h[0].cost
+    assert h[-1].ncorrect > h[0].ncorrect
+    Wt = unpack(eng.packed())          # exercises the fixed writeback path
+    assert Wt.label_site == 4

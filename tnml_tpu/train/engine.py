@@ -98,6 +98,11 @@ class SweepEngine:
                                      # utils/precision.py). 'default'/'high' trade
                                      # accuracy for MXU throughput; quality-verified
                                      # for the moving-label mode at scale.
+                 fused_variant: str = "auto",  # fixed-label fused engine: 'auto'
+                                     # (resident when the wing stacks fit HBM,
+                                     # blocked otherwise) | 'resident' | 'blocked'
+                 blocked_K: Optional[int] = None,  # blocked engine block size
+                                     # (default ~sqrt(segment length))
                  sharding=None):
         from tnml_tpu.utils.precision import configure_matmul_precision
         self.precision = configure_matmul_precision(precision)
@@ -133,6 +138,10 @@ class SweepEngine:
         self.env_dtype = env_dtype
         self.mxu_dtype = mxu_dtype
         self.svd_method = svd_method
+        if fused_variant not in ("auto", "resident", "blocked"):
+            raise ValueError("fused_variant must be auto|resident|blocked")
+        self.fused_variant = fused_variant
+        self.blocked_K = blocked_K
         self.sharding = sharding
         if label_mode not in ("fixed", "moving"):
             raise ValueError("label_mode must be 'fixed' or 'moving'")
@@ -564,6 +573,8 @@ class SweepEngine:
         if self.noise >= 1e-14 or self.method in ("exact", "pinv"):
             raise ValueError("fused sweeps support the CG methods without noise")
         if self.label_mode == "fixed" and self.label_site is not None:
+            if self._fixed_variant() == "blocked":
+                return self._run_fused_blocked(sweeps, verbose=verbose)
             return self._run_fused_fixed(sweeps, verbose=verbose)
         if not hasattr(self, "_fs"):
             self._fused_init()
@@ -743,6 +754,7 @@ class SweepEngine:
         import jax.numpy as jnp
         from tnml_tpu.train import segment_fixed as segf
 
+        self._sync_fused()   # a prior (e.g. blocked) fused run may be dirty
         c = self.label_site
         # preflight the dominant buffer instead of dying in the compiler: the
         # bond-aligned labelled wing buffer is R x [B, 10, pad]
@@ -778,7 +790,7 @@ class SweepEngine:
         from tnml_tpu.train import segment_fixed as segf
         from tnml_tpu.train.env import edge_env
 
-        if not hasattr(self, "_fsx"):
+        if not hasattr(self, "_fsx") or self._fsx.get("blocked"):
             self._fused_init_fixed()
         fx = self._fsx
         n, c = self.n, self.label_site
@@ -938,6 +950,300 @@ class SweepEngine:
                 self.cores[j] = np.asarray(fx["trav"])
             else:
                 self.cores[j] = st[j]
+
+    # -- blocked (sqrt-memory) fused sweeps, FIXED layout (segment_blocked.py) ----
+
+    def _fixed_variant(self) -> str:
+        """Resolve the fixed-label fused engine variant: the resident engine
+        (full bond-aligned wing stacks, segment_fixed) when they fit one chip,
+        the checkpointed-rebuild blocked engine (segment_blocked) otherwise.
+        TNML_FUSED_VARIANT=resident|blocked overrides the auto choice."""
+        import os
+        v = self.fused_variant
+        if v == "auto":
+            v = os.environ.get("TNML_FUSED_VARIANT", "auto")
+        if v != "auto":
+            return v
+        c, n = self.label_site, self.n
+        nl = self.model.n_labels or 10
+        R = max(c - 1, n - 2 - c)
+        itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
+        lab_gb = R * self.nt * nl * self.pad * itemsize / 2**30
+        plain_gb = (n - 1) * self.nt * self.pad * itemsize / 2**30
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if lab_gb + plain_gb > 13.0 and self.sharding is None and on_tpu:
+            return "blocked"
+        return "resident"
+
+    @staticmethod
+    def _pick_block(length: int, target: Optional[int] = None) -> int:
+        """Block size for a segment of ``length`` bonds: ~sqrt(length) (the
+        boundary-count/rebuild-buffer memory optimum), preferring an exact
+        divisor so every block compiles to the same static T."""
+        import math
+        if length <= 1:
+            return max(length, 1)
+        k = target or max(2, round(math.sqrt(length)))
+        best = min((d for d in range(max(2, k // 2), min(length, 2 * k) + 1)
+                    if length % d == 0), key=lambda d: abs(d - k), default=k)
+        return best
+
+    def _q_wing(self, arr, sig):
+        """Quantize a boundary wing to the storage dtype (quantize-once: the
+        f32 carry is stored once; rebuilds run in f32 from the stored row)."""
+        dt = self.env_dtype
+        return (arr if dt is None else arr.astype(dt)), sig
+
+    def _fused_init_blocked(self):
+        """Stacked state + initial right-wing block boundaries for the blocked
+        fixed-label engine.  Instead of the resident engine's full bond-aligned
+        stacks (R labelled rows), only one boundary wing per K-bond block is
+        kept; blocked_segment rebuilds the block's rows in-jit.  The initial
+        boundaries come from one right-to-left walk over the cold cores
+        (TrainStates::init, fixedL.cc:122-157), recording at the block marks."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_blocked as segb
+        from tnml_tpu.train.env import edge_env, env_extend
+
+        self._sync_fused()
+        c, n = self.label_site, self.n
+        K = self.blocked_K or self._pick_block(max(c - 1, n - 2 - c))
+        blocksA = segb.partition_bonds(0, c - 1, self._pick_block(c - 1, K))
+        blocksB = segb.partition_bonds(c + 1, n - 1,
+                                       self._pick_block(n - 2 - c, K))
+        zeros = jnp.zeros_like(self.cores[0 if c != 0 else 1])
+        rows = [self.cores[j] if j != c else zeros for j in range(n)]
+        cores_st = jnp.stack(rows)
+        xs = jnp.stack(self.Xsites)
+
+        car_a, car_s = edge_env(self.nt, self.pad, jnp.float32)
+        car_a, car_s = self._shard(car_a, 0), self._shard(car_s, 0)
+        cur_s = n   # carry covers sites cur_s..n-1
+
+        def down_to(a, s, target, from_s):
+            if from_s > target:
+                a, s = segb.extend_run(a, s, cores_st, xs, from_s - 1,
+                                       T=from_s - target, fromleft=False)
+            return a, s
+
+        fwd_B = [None] * len(blocksB)
+        for j in reversed(range(len(blocksB))):
+            t0, T = blocksB[j]
+            car_a, car_s = down_to(car_a, car_s, t0 + T + 1, cur_s)
+            cur_s = t0 + T + 1
+            fwd_B[j] = self._q_wing(car_a, car_s)
+        car_a, car_s = down_to(car_a, car_s, c + 2, cur_s)
+        fwd_c = self._q_wing(car_a, car_s)
+        car_a, car_s = down_to(car_a, car_s, c + 1, c + 2)
+        fwd_c1 = self._q_wing(car_a, car_s)
+        # cross the label core (site c): the carry picks up the label axis
+        car_a, car_s = env_extend(car_a, car_s, self.Xsites[c], self.cores[c],
+                                  fromleft=False)
+        cur_s = c
+        fwd_A = [None] * len(blocksA)
+        for j in reversed(range(len(blocksA))):
+            t0, T = blocksA[j]
+            car_a, car_s = down_to(car_a, car_s, t0 + T + 1, cur_s)
+            cur_s = t0 + T + 1
+            fwd_A[j] = self._q_wing(car_a, car_s)
+        self._fsx = {
+            "blocked": True, "trav": self.cores[0], "cores_st": cores_st,
+            "label_core": self.cores[c], "xs": xs,
+            "blocksA": blocksA, "blocksB": blocksB,
+            "fwd_A": fwd_A, "fwd_c1": fwd_c1, "fwd_c": fwd_c, "fwd_B": fwd_B,
+            "bwd_A": None, "bwd_c1": None, "bwd_c": None, "bwd_B": None,
+        }
+
+    def _run_fused_blocked(self, sweeps: Sweeps, verbose=True) -> List[BondStats]:
+        """Full sweeps with sqrt-style wing memory: each direction's block-entry
+        near-wing carries ARE the opposite direction's block boundaries (the
+        ping-pong invariant of segment_fixed, restricted to block marks), so no
+        emission buffers exist at all — only ~R/K boundary rows plus the in-jit
+        K-row rebuild buffer.  This is what makes the reference's flagship
+        layout (fixedL.cc:616) trainable at the full 58,862-image set on one
+        chip (the resident engine's labelled stack alone would need ~55 GB)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_fsx") or not self._fsx.get("blocked"):
+            self._fused_init_blocked()
+        fb = self._fsx
+        shift = (self.report_cost and not self.monotone
+                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
+        common = dict(method=self.method, npass=self.npass,
+                      report=self.report_cost, env_dtype=self.env_dtype,
+                      mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
+                      damp=(self.alpha != 1.0), monotone=self.monotone,
+                      shift_report=shift, nl=self.nl)
+        history: List[BondStats] = []
+        for sw in range(sweeps.nsweep):
+            maxm = int(sweeps.maxm[sw])
+            minm = int(sweeps.minm[sw])
+            cutoff = float(sweeps.cutoff[sw])
+            if maxm > self.pad:
+                raise ValueError(f"sweep {sw}: maxm {maxm} exceeds pad {self.pad}")
+            if float(sweeps.noise[sw]) >= 1e-14:
+                raise ValueError("fused sweeps do not support the noise term; "
+                                 "use the per-bond engine (run)")
+            self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            t0 = time.perf_counter()
+            visit = []
+            for forward in (True, False):
+                visit += self._blocked_half(fb, forward, common)
+            fetched = np.asarray(jnp.stack([v[2] for v in visit]))
+            visit = [(b, d, row) for (b, d, _), row in zip(visit, fetched)]
+            if shift:
+                visit = self._shift_visit_metrics(
+                    visit, final_fn=self._fused_final_metrics_blocked)
+            dt = time.perf_counter() - t0
+            for b, direction, vec in visit:
+                st = self._unpack_stats(sw + 1, b, direction,
+                                        int(self.ranks[b + 1]), vec)
+                self.ranks[b + 1] = st.newm
+                history.append(st)
+                if verbose == "bond":
+                    self.print_bond_report(st)
+            if verbose:
+                last = history[-1]
+                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                       f"(fused-blocked, {len(visit)} bonds, "
+                       f"{dt / len(visit) * 1e3:.1f} ms/bond), "
+                       f"max m = {int(self.ranks.max())}")
+                if self.report_cost:
+                    msg += (f", cost/NT {last.cost / self.nt:.10f}"
+                            f", correct {last.ncorrect}/{self.nt}")
+                    nwarn = sum(map(self.svd_regressed, history[-len(visit):]))
+                    if nwarn:
+                        msg += f", svd-regressed bonds {nwarn}"
+                    nrej = sum(st.replaced for st in history[-len(visit):])
+                    if nrej:
+                        msg += f", rejected bonds {nrej}"
+                print(msg)
+        self._fused_dirty = "fixed"
+        self._fs_state = "fixed"
+        return history
+
+    def _blocked_half(self, fb, forward: bool, common):
+        """One half-sweep: A blocks | bond c-1 | bond c | B blocks (forward) or
+        the mirror order.  While consuming its own boundaries (recorded by the
+        opposite direction), each loop records its block-entry carries as the
+        opposite direction's next boundaries.  Returns [(bond, dir, stats_row)]
+        in visit order (stats rows are device arrays; fetched in bulk)."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_blocked as segb
+        from tnml_tpu.train.env import edge_env
+
+        n, c = self.n, self.label_site
+        d = 1 if forward else -1
+        e_arr, e_sig = edge_env(self.nt, self.pad, self.dtype)
+        e_arr, e_sig = self._shard(e_arr, 0), self._shard(e_sig, 0)
+        car_a, car_s = e_arr.astype(jnp.float32), e_sig
+        cur = fb["trav"]
+        visit = []
+
+        def seg(cur, car_a, car_s, b, t0, T):
+            fb["cores_st"], cur, car_a, car_s, stats = segb.blocked_segment(
+                fb["cores_st"], cur, car_a, car_s, b[0], b[1], fb["xs"],
+                self.Y, self.labels, self._hyp_f, self._hyp_i, t0,
+                T=T, forward=forward, **common)
+            return cur, car_a, car_s, stats
+
+        def center(wl, wr, na, ns, far, t, label_leg):
+            return segb.center_step_far(
+                wl, wr, na, ns, far[0], far[1],
+                self.Xsites[t], self.Xsites[t + 1], self.Y, self.labels,
+                self._hyp_f, self._hyp_i, label_leg=label_leg,
+                forward=forward, **common)
+
+        if forward:
+            rec_A = []
+            for j, (t0, T) in enumerate(fb["blocksA"]):
+                rec_A.append(self._q_wing(car_a, car_s))
+                cur, car_a, car_s, stats = seg(cur, car_a, car_s,
+                                               fb["fwd_A"][j], t0, T)
+                fb["fwd_A"][j] = None           # donated — drop the reference
+                visit += [(t0 + i, d, stats[i]) for i in range(T)]
+            fb["bwd_A"] = rec_A
+            fb["bwd_c1"] = self._q_wing(car_a, car_s)
+            nwl, nwr, env_a, env_s, st = center(
+                cur, fb["label_core"], car_a, car_s, fb["fwd_c1"], c - 1,
+                "right")
+            fb["cores_st"] = fb["cores_st"].at[c - 1].set(nwl)
+            visit.append((c - 1, d, st))
+            fb["bwd_c"] = self._q_wing(env_a, env_s)
+            nwl2, nwr2, env_a2, env_s2, st2 = center(
+                nwr, fb["cores_st"][c + 1], env_a, env_s, fb["fwd_c"], c,
+                "left")
+            fb["label_core"] = nwl2
+            visit.append((c, d, st2))
+            cur, car_a, car_s = nwr2, env_a2, env_s2
+            rec_B = []
+            for j, (t0, T) in enumerate(fb["blocksB"]):
+                rec_B.append(self._q_wing(car_a, car_s))
+                cur, car_a, car_s, stats = seg(cur, car_a, car_s,
+                                               fb["fwd_B"][j], t0, T)
+                fb["fwd_B"][j] = None
+                visit += [(t0 + i, d, stats[i]) for i in range(T)]
+            fb["bwd_B"] = rec_B
+        else:
+            nB = len(fb["blocksB"])
+            rec_B = [None] * nB
+            for j in reversed(range(nB)):
+                t0, T = fb["blocksB"][j]
+                rec_B[j] = self._q_wing(car_a, car_s)
+                cur, car_a, car_s, stats = seg(cur, car_a, car_s,
+                                               fb["bwd_B"][j], t0, T)
+                fb["bwd_B"][j] = None
+                visit += [(t0 + T - 1 - i, d, stats[T - 1 - i])
+                          for i in range(T)]
+            fb["fwd_B"] = rec_B
+            fb["fwd_c"] = self._q_wing(car_a, car_s)
+            nwl, nwr, env_a, env_s, st = center(
+                fb["label_core"], cur, car_a, car_s, fb["bwd_c"], c, "left")
+            fb["cores_st"] = fb["cores_st"].at[c + 1].set(nwr)
+            visit.append((c, d, st))
+            fb["fwd_c1"] = self._q_wing(env_a, env_s)
+            nwl2, nwr2, env_a2, env_s2, st2 = center(
+                fb["cores_st"][c - 1], nwl, env_a, env_s, fb["bwd_c1"], c - 1,
+                "right")
+            fb["label_core"] = nwr2
+            visit.append((c - 1, d, st2))
+            cur, car_a, car_s = nwl2, env_a2, env_s2
+            nA = len(fb["blocksA"])
+            rec_A = [None] * nA
+            for j in reversed(range(nA)):
+                t0, T = fb["blocksA"][j]
+                rec_A[j] = self._q_wing(car_a, car_s)
+                cur, car_a, car_s, stats = seg(cur, car_a, car_s,
+                                               fb["bwd_A"][j], t0, T)
+                fb["bwd_A"][j] = None
+                visit += [(t0 + T - 1 - i, d, stats[T - 1 - i])
+                          for i in range(T)]
+            fb["fwd_A"] = rec_A
+        fb["trav"] = cur
+        return visit
+
+    def _fused_final_metrics_blocked(self):
+        """Quadcost of the final blocked state at bond 0: the labelled right
+        wing covering sites 2..N-1 is rebuilt from the first A-block boundary
+        (recorded for the next forward half-sweep) over the current cores."""
+        import jax.numpy as jnp
+        from tnml_tpu.train import segment_blocked as segb
+
+        fb = self._fsx
+        t0, T = fb["blocksA"][0]
+        b_arr, b_sig = fb["fwd_A"][0]
+        arr, sig = b_arr.astype(jnp.float32), b_sig
+        if T > 1:
+            # boundary covers sites T+1..; extend down over sites T..2
+            arr, sig = segb.extend_run(arr, sig, fb["cores_st"], fb["xs"],
+                                       T, T=T - 1, fromleft=False)
+        B5 = bond_ops.make_bond(fb["trav"], fb["cores_st"][1])
+        e_arr, e_sig = self._edge_env()
+        cost, pl, ncor, reg = jax.device_get(bond_ops.quadcost(
+            B5, e_arr, e_sig, arr, sig, self.Xsites[0], self.Xsites[1],
+            self.Y, self.labels, jnp.float32(self.lam), nl=self.nl))
+        return (float(cost), np.asarray(pl, np.float32), float(ncor),
+                float(reg))
 
     # -- extraction ---------------------------------------------------------------
 
