@@ -161,6 +161,22 @@ def main() -> int:
         "vs_baseline": round(ref_seconds / secs, 2),
         "tflops_sustained": round(tflops, 1),
     }
+    # MEASURED CPU anchor (VERDICT r2 item 5): .bench/cpu_baseline.py times the
+    # engine's own fused_bond_step on the JAX CPU backend at the headline
+    # shapes; vs_cpu scales its single-core per-bond time by the reference's
+    # 16-thread cap (perfect scaling — generous to the reference) and by the
+    # batch ratio (per-bond work is linear in B), then compares full sweeps.
+    cpu_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench", "cpu_baseline.json")
+    if os.path.exists(cpu_path):
+        with open(cpu_path) as f:
+            cpu = json.load(f)
+        if cpu.get("config", {}).get("maxm") == maxm and \
+                cpu["config"].get("npass") == npass:
+            scale = (NT / cpu["config"]["B"]) / 16.0
+            cpu_sweep = cpu["per_bond_s_1core"] * scale * 2 * (N - 1)
+            out["vs_cpu_measured_16t"] = round(cpu_sweep / secs, 2)
+            out["cpu_1core_bond_s"] = cpu["per_bond_s_1core"]
     print(json.dumps(out))
     return 0
 
