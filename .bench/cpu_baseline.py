@@ -33,20 +33,22 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
-def main():
-    assert jax.devices()[0].platform == "cpu", jax.devices()
-    B = int(os.environ.get("CPU_BASE_B", 58862))
-    pad = int(os.environ.get("CPU_BASE_MAXM", 120))
-    npass = int(os.environ.get("CPU_BASE_NPASS", 4))
-    d, nl = 2, 10
-
+def _time_bond(B, pad, npass, d, nl, mode):
+    """One fused_bond_step at the headline shapes: mode 'fixed' puts the label
+    axis in the far wing (segment A/B situation), 'moving' on the left core."""
     from tnml_tpu.train import step as step_ops
 
     rng = np.random.default_rng(0)
-    wl = jnp.asarray(rng.normal(size=(pad, d, pad)) / pad, jnp.float32)
     wr = jnp.asarray(rng.normal(size=(pad, d, pad)) / pad, jnp.float32)
     LE = jnp.asarray(rng.normal(size=(B, pad)), jnp.float32)
-    RE = jnp.asarray(rng.normal(size=(B, nl, pad)).astype(np.float32))
+    if mode == "fixed":
+        wl = jnp.asarray(rng.normal(size=(pad, d, pad)) / pad, jnp.float32)
+        RE = jnp.asarray(rng.normal(size=(B, nl, pad)).astype(np.float32))
+        leg = "none"
+    else:
+        wl = jnp.asarray(rng.normal(size=(pad, d, pad, nl)) / pad, jnp.float32)
+        RE = jnp.asarray(rng.normal(size=(B, pad)), jnp.float32)
+        leg = "left"
     lsc = jnp.zeros((B,), jnp.float32)
     rsc = jnp.zeros((B,), jnp.float32)
     xl = jnp.asarray(rng.normal(size=(d, B)), jnp.float32)
@@ -60,7 +62,7 @@ def main():
     def bond():
         out = step_ops.fused_bond_step(
             wl, wr, LE, lsc, RE, rsc, xl, xr, Y, labels, hyp_f, hyp_i, key,
-            label_leg="none", iso_left=True, method="fast_conj_exact",
+            label_leg=leg, iso_left=True, method="fast_conj_exact",
             npass=npass, check_r0=False, report=True, shift_report=True, nl=nl)
         jax.block_until_ready(out)
 
@@ -69,7 +71,30 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         bond()
-    per_bond_s = (time.time() - t0) / reps
+    return (time.time() - t0) / reps, compile_s
+
+
+def main():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    B = int(os.environ.get("CPU_BASE_B", 58862))
+    pad = int(os.environ.get("CPU_BASE_MAXM", 120))
+    npass = int(os.environ.get("CPU_BASE_NPASS", 4))
+    d, nl = 2, 10
+
+    rng = np.random.default_rng(0)
+    out = {
+        "backend": "jax-cpu",
+        "host_cores": os.cpu_count(),
+        "config": {"B": B, "maxm": pad, "npass": npass, "nl": nl, "d": d,
+                   "method": "fast_conj_exact"},
+        "note": "engine's own fused_bond_step on the CPU backend; scale by "
+                "min(16, cores) for the reference's thread cap",
+    }
+    for mode in ("fixed", "moving"):
+        per_bond_s, compile_s = _time_bond(B, pad, npass, d, nl, mode)
+        out[f"per_bond_s_1core_{mode}"] = round(per_bond_s, 3)
+        out[f"compile_s_{mode}"] = round(compile_s, 1)
+        print(f"[cpu] {mode}: {per_bond_s:.3f} s/bond", file=sys.stderr)
 
     # raw matmul probe at the hot shape for context (GFLOP/s, f32)
     A = jnp.asarray(rng.normal(size=(B, pad * d)), jnp.float32)
@@ -80,19 +105,9 @@ def main():
     for _ in range(3):
         jax.block_until_ready(mm(A, Bm))
     mm_s = (time.time() - t0) / 3
-    gflops = 2 * B * (pad * d) * (pad * d * nl) / mm_s / 1e9
+    out["matmul_gflops_1core"] = round(
+        2 * B * (pad * d) * (pad * d * nl) / mm_s / 1e9, 1)
 
-    out = {
-        "backend": "jax-cpu",
-        "host_cores": os.cpu_count(),
-        "config": {"B": B, "maxm": pad, "npass": npass, "nl": nl, "d": d,
-                   "method": "fast_conj_exact", "label": "fixed-in-wing"},
-        "per_bond_s_1core": round(per_bond_s, 3),
-        "compile_s": round(compile_s, 1),
-        "matmul_gflops_1core": round(gflops, 1),
-        "note": "engine's own fused_bond_step on the CPU backend; scale by "
-                "min(16, cores) for the reference's thread cap",
-    }
     print(json.dumps(out, indent=1))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "cpu_baseline.json")

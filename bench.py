@@ -171,12 +171,13 @@ def main() -> int:
     if os.path.exists(cpu_path):
         with open(cpu_path) as f:
             cpu = json.load(f)
-        if cpu.get("config", {}).get("maxm") == maxm and \
+        per_bond = cpu.get(f"per_bond_s_1core_{label_mode}")
+        if per_bond and cpu.get("config", {}).get("maxm") == maxm and \
                 cpu["config"].get("npass") == npass:
             scale = (NT / cpu["config"]["B"]) / 16.0
-            cpu_sweep = cpu["per_bond_s_1core"] * scale * 2 * (N - 1)
+            cpu_sweep = per_bond * scale * 2 * (N - 1)
             out["vs_cpu_measured_16t"] = round(cpu_sweep / secs, 2)
-            out["cpu_1core_bond_s"] = cpu["per_bond_s_1core"]
+            out["cpu_1core_bond_s"] = per_bond
     print(json.dumps(out))
     return 0
 
