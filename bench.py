@@ -87,9 +87,10 @@ def main() -> int:
           f"npass={npass}, env_dtype={env_dtype_s}, label_mode={label_mode}",
           file=sys.stderr)
 
+    svd_method = os.environ.get("TNML_BENCH_SVD", "gram")
     cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
                        ninitial=10, pad=maxm, label_mode=label_mode, method=method,
-                       precision=precision)
+                       precision=precision, svd_method=svd_method)
     t0 = time.time()
     w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
     model = FixedLModel(w)

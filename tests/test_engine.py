@@ -223,6 +223,66 @@ def test_split_bond_matches_host_svd(label_leg, iso_left):
         np.testing.assert_allclose(gram[:len(s), :len(s)], np.eye(len(s)), atol=1e-4)
 
 
+@pytest.mark.parametrize("label_leg,iso_left", [("left", True), ("right", False),
+                                                ("none", True)])
+def test_split_bond_ritz_matches_host_svd(label_leg, iso_left):
+    """Ritz split at shapes where the subspace iteration actually engages
+    (q = pad+16 < k0): truncation error matches the exact SVD's, the kept
+    subspace captures the same spectral weight, and the isometric factor is
+    exactly orthonormal."""
+    pad, d, L = 40, 2, 10
+    J = L if label_leg != "none" else 1
+    # decaying spectrum like a trained bond (rapid early decay, noise floor);
+    # dedicated generator: the module rng's state is execution-order-dependent
+    # under xdist, and this test's tolerances are spectrum-shape-sensitive
+    local_rng = np.random.default_rng(7)
+    B5 = np.asarray(local_rng.normal(size=(pad, d, d, pad, J)))
+    B5 *= np.exp(-0.2 * np.arange(pad))[:, None, None, None, None]
+    B5 = jnp.asarray(B5, jnp.float32)
+    cutoff, maxm, minm = 1e-6, pad, 1
+    wl, wr, rank, truncerr = bond_ops.split_bond(
+        B5, jnp.float32(cutoff), jnp.int32(maxm), jnp.int32(minm),
+        label_leg=label_leg, iso_left=iso_left, method="ritz")
+
+    Bn = np.asarray(B5, dtype=np.float64)
+    if label_leg == "left":
+        M = Bn.transpose(0, 1, 4, 2, 3).reshape(pad * d * J, d * pad)
+    else:
+        M = Bn.reshape(pad * d, d * pad * J)
+    assert min(M.shape) > pad + 16, "shape too small to engage the Ritz path"
+    U, s, Vt, err = svd_truncate(M, cutoff=cutoff, maxm=maxm, minm=minm)
+    assert int(rank) == len(s)
+    # subspace-iteration suboptimality shows up as (slightly) larger truncerr;
+    # it must never be smaller than the optimal SVD's
+    assert float(truncerr) >= err * (1 - 1e-3) - 1e-9
+    assert float(truncerr) == pytest.approx(err, rel=0.05, abs=1e-7)
+
+    # reconstruction captures the same spectral weight as the optimal SVD
+    if label_leg == "left":
+        rec = np.einsum("asml,mtr->astrl", np.asarray(wl), np.asarray(wr))
+        rec_m = rec.transpose(0, 1, 4, 2, 3).reshape(M.shape)
+    elif label_leg == "right":
+        rec = np.einsum("asm,mtrl->astrl", np.asarray(wl), np.asarray(wr))
+        rec_m = rec.reshape(M.shape)
+    else:
+        rec = np.einsum("asm,mtr->astr", np.asarray(wl), np.asarray(wr))[..., None]
+        rec_m = rec.reshape(M.shape)
+    opt = np.linalg.norm(M - (U * s) @ Vt)
+    got = np.linalg.norm(M - rec_m)
+    assert got <= opt * 1.05 + 1e-5
+
+    # isometry on the indicated side is exact (QR x eigh orthonormality)
+    if iso_left:
+        wlm = np.asarray(wl)
+        if label_leg == "left":
+            wlm = wlm.transpose(0, 1, 3, 2).reshape(pad * d * J, pad)
+        else:
+            wlm = wlm.reshape(pad * d, pad)
+        gram = wlm.T @ wlm
+        k = int(rank)
+        np.testing.assert_allclose(gram[:k, :k], np.eye(k), atol=1e-4)
+
+
 # ---- integration: tiny end-to-end training ---------------------------------------
 
 

@@ -117,7 +117,7 @@ class FixedLConfig:
     env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 (the full
                                       # 58,862-image set needs this on 16 GB HBM)
     mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
-    svd_method: str = "gram"   # bond split: 'gram' (fast TPU eigh path) | 'qr' | 'svd'
+    svd_method: str = "gram"   # bond split: 'gram' | 'ritz' (fastest) | 'qr' | 'svd'
     precision: Optional[str] = None   # matmul precision: None -> 'highest' (true
                                       # f32, correctness-first); 'default'/'high'
                                       # trade mantissa for MXU speed (engine.py)

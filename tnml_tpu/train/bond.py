@@ -197,7 +197,12 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
 
         if fast:
             # sum_b (p·v_b) v_b (single.h:360); pv already carries one sig factor,
-            # the outer product against the normalized wings needs the second
+            # the outer product against the normalized wings needs the second.
+            # Deliberately OUTSIDE the is_last cond: hoisting it into the tail
+            # branch (to skip the discarded final-pass outer_grad) forces pv
+            # [B, m·d·J] and the wing products to materialize in HBM as branch
+            # operands instead of fusing into the matmuls — measured 2x SLOWER
+            # end-to-end (18.1 vs 9.7 s/sweep at B=58,862).
             Ap = outer_grad(pv * sig, Lphi, Rphi)
 
         def tail(_):
@@ -329,10 +334,15 @@ def quadcost(B5, LE, sigL, RE, sigR, xc, x1, Y, labels, lam, mxu_dtype=None,
 # ---------------------------------------------------------------------------
 
 
-def _trunc_rank(s, cutoff, maxm, minm):
-    """Smallest kept rank with tail(sum s^2) <= cutoff*total, clamped to [minm, maxm]."""
+def _trunc_rank(s, cutoff, maxm, minm, total=None):
+    """Smallest kept rank with tail(sum s^2) <= cutoff*total, clamped to [minm, maxm].
+
+    ``total`` overrides sum(s^2) when ``s`` holds only the TOP singular values of a
+    larger spectrum (the Ritz split): the exact total is trace(Gram), so the tail
+    estimate stays exact-or-conservative (never under-reports truncation error).
+    """
     p = s * s
-    total = jnp.sum(p)
+    total = jnp.sum(p) if total is None else total
     k = s.shape[0]
     tail = total - jnp.cumsum(p)                      # tail[i] = discarded if keep i+1
     ok = tail <= cutoff * total
@@ -440,8 +450,63 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                 right_m = (sv * mask)[:, None] * Vm.T
             else:
                 left_m, right_m = MV, Vm.T
+    elif method == "ritz":
+        # Rayleigh–Ritz truncated split: the sweep keeps at most ``maxm`` of the
+        # min(rows, cols) singular directions, so diagonalizing the FULL Gram
+        # matrix wastes most of the eigh.  Project G onto a q-dimensional
+        # (q = maxm+16, oversampled) subspace found by randomized subspace
+        # iteration — TPU QR at these shapes is ~free (0.01-0.27 ms measured,
+        # .bench/eigh_variants.py) while eigh scales steeply (1.65 ms at [240]
+        # vs 0.5 ms at [136]) — then eigh the small projected matrix.  The
+        # isometric factor Q@W is exactly orthonormal (QR ⊗ eigh orthonormality),
+        # so the gauge/env math downstream stays exact; subspace suboptimality
+        # only shows up honestly as truncation error, whose tail estimate uses
+        # the EXACT total trace(G) (see _trunc_rank).  Power iterations on G
+        # amplify sigma^2 per step (G = M·M^T), so 2 steps separate the kept
+        # spectrum at sigma^6 — rapid dominance.
+        k0 = min(rows, cols)
+        # static rank target: engine pads maxm to `pad`, so pad is the live cap
+        q = min(pad + 16, k0)
+        small_rows = rows <= cols
+        G = ((M @ M.T) if small_rows else (M.T @ M)).astype(jnp.float32)
+        total = jnp.trace(G)
+        if q >= k0:                                   # tiny problem: plain eigh
+            lam_, V = jnp.linalg.eigh(G)
+            sv = jnp.sqrt(jnp.maximum(lam_[::-1], 0.0))
+            V = V[:, ::-1]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm)
+        else:
+            Om = jax.random.normal(jax.random.PRNGKey(0), (k0, q), jnp.float32)
+            Q, _ = jnp.linalg.qr(G @ Om)
+            for _ in range(2):
+                Q, _ = jnp.linalg.qr(G @ Q)
+            T = Q.T @ (G @ Q)
+            T = 0.5 * (T + T.T)
+            theta, W = jnp.linalg.eigh(T)             # ascending
+            sv = jnp.sqrt(jnp.maximum(theta[::-1], 0.0))
+            V = (Q @ W)[:, ::-1]
+            rank, mask, truncerr = _trunc_rank(sv, cutoff, maxm, minm,
+                                               total=total)
+        Vm = V * mask[None, :]
+        if small_rows:
+            UtM = Vm.T @ M                            # = s·Vt, exact
+            if iso_left:
+                left_m, right_m = Vm, UtM
+            else:
+                sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
+                left_m = Vm * (sv * mask)[None, :]
+                right_m = sinv[:, None] * UtM
+        else:
+            MV = M @ Vm                               # = U·s, exact
+            if iso_left:
+                sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
+                left_m = MV * sinv[None, :]
+                right_m = (sv * mask)[:, None] * Vm.T
+            else:
+                left_m, right_m = MV, Vm.T
     else:
-        raise ValueError(f"split method {method!r} not recognized (gram|qr|svd)")
+        raise ValueError(
+            f"split method {method!r} not recognized (gram|ritz|qr|svd)")
     k = sv.shape[0]
 
     # pad/trim the new bond to `pad`
