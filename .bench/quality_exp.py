@@ -24,6 +24,7 @@ monotone = bool(int(sys.argv[11])) if len(sys.argv) > 11 else False
 feature = sys.argv[12] if len(sys.argv) > 12 else "series"
 d = int(sys.argv[13]) if len(sys.argv) > 13 else 2
 rescale = float(sys.argv[14]) if len(sys.argv) > 14 else 1.0 / 255.0
+svd_method = sys.argv[15] if len(sys.argv) > 15 else "gram"
 
 tr = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=nt, verbose=False)
 te = read_mnist("/root/reference/mllib/MNIST", TEST, nt=1000, verbose=False)
@@ -33,7 +34,7 @@ cfg = FixedLConfig(nsweep=nsweep, maxm=max(ramp), cutoff=1e-10, lam=lam, alpha=a
                    npass=npass, cconv=cconv, method="fast_conj_exact",
                    label_mode=label_mode, pad=max(ramp), maxm_schedule=ramp,
                    env_dtype="bf16", precision=prec, report_cost=True,
-                   monotone=monotone)
+                   monotone=monotone, svd_method=svd_method)
 wd = tempfile.mkdtemp(prefix=f"qexp_{tag}_")
 model = FixedLModel.initialize(X, tr.labels, cfg, workdir=wd, verbose=False)
 ev = Evaluator(Xte, te.labels)

@@ -3,7 +3,8 @@
 
 Default configuration is the moving-label (paper-style) variant on the scan-fused
 engine — the best-performing mode; set TNML_BENCH_LABEL_MODE=fixed for the
-reference's fixed-label layout on the per-bond engine.
+reference's fixed-label layout (auto-routed to the sqrt-memory blocked engine
+at full-set batch sizes, train/segment_blocked.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -87,7 +88,12 @@ def main() -> int:
           f"npass={npass}, env_dtype={env_dtype_s}, label_mode={label_mode}",
           file=sys.stderr)
 
-    svd_method = os.environ.get("TNML_BENCH_SVD", "gram")
+    # moving headline: ritz split (quality-identical to gram — both reach the
+    # same 86.25% best/cost trajectory on the 10-sweep tuned config,
+    # .bench/quality_mv_{gram,ritz}_r3.log — and 0.4 ms/bond faster);
+    # fixed flagship: gram (parity default, validated at 99.99%)
+    svd_method = os.environ.get("TNML_BENCH_SVD",
+                                "ritz" if label_mode == "moving" else "gram")
     cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
                        ninitial=10, pad=maxm, label_mode=label_mode, method=method,
                        precision=precision, svd_method=svd_method)

@@ -18,12 +18,18 @@ all are 1 for the one-vs-rest `single` model, whose targets ride in Y):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Wing-product fusion barrier, DEFAULT ON (opt out with TNML_WING_BARRIER=0).
+# Read once at import, traced-in statically.  Measured -0.22 s/sweep at the
+# full set (.bench/PROFILE_r3.md); see the use site in cg_bond.
+_WING_BARRIER = os.environ.get("TNML_WING_BARRIER", "1") == "1"
 
 # ---------------------------------------------------------------------------
 # bond tensor assembly / disassembly
@@ -140,6 +146,12 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
     """
     Bsz = LE.shape[0]
     Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
+    if _WING_BARRIER:
+        # The metrics-pass apply otherwise runs HBM-bound at 2.3x the loop
+        # applies' time because wing production fuses into it
+        # (.bench/profile_r3_ops_baseline.json); the barrier forces Lphi/Rphi
+        # to materialize as their own fusion.  Measured -0.22 s/sweep.
+        Lphi, Rphi = lax.optimization_barrier((Lphi, Rphi))
     sig = jnp.exp(sigL + sigR)[:, None, None, None]          # [B,1,1,1]
     Y4 = Y.reshape(Bsz, Lphi.shape[1], B5.shape[4], Rphi.shape[1])
 

@@ -88,7 +88,8 @@ class SweepEngine:
                  env_dtype=None,     # e.g. jnp.bfloat16: wing STORAGE dtype
                  mxu_dtype=None,     # e.g. jnp.bfloat16: MXU matmul input dtype
                                      # (accumulation always float32)
-                 svd_method: str = "gram",   # 'gram' (fast TPU path) | 'svd'
+                 svd_method: str = "gram",   # 'gram' | 'ritz' (fastest, quality-
+                                     # identical — bond.split_bond) | 'qr' | 'svd'
                  env_store=None,     # DeviceEnvStore (default) or OffloadEnvStore
                  x_site_major: bool = False,   # X already [N, B, d] on device
                  precision: Optional[str] = None,  # matmul precision: None ->
