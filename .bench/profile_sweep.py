@@ -31,13 +31,16 @@ from tnml_tpu.train.schedule import Sweeps
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 58862
 maxm, npass = 120, 4
 svd_method = os.environ.get("TNML_BENCH_SVD", "gram")
+label_mode = os.environ.get("TNML_PROFILE_MODE", "moving")
+precision = os.environ.get("TNML_PROFILE_PRECISION",
+                           "default" if label_mode == "moving" else "highest")
 
 ds = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=max(1, B // 10),
                 size=28, verbose=False)
 X = featurize(ds.images, FEATURE_SERIES, d=2)
 cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
-                   ninitial=10, pad=maxm, label_mode="moving",
-                   method="fast_conj_exact", precision="default",
+                   ninitial=10, pad=maxm, label_mode=label_mode,
+                   method="fast_conj_exact", precision=precision,
                    svd_method=svd_method)
 w = cold_start(X, ds.labels, ninitial=cfg.ninitial, verbose=False)
 model = FixedLModel(w)
@@ -50,7 +53,9 @@ t0 = time.time()
 eng.run_fused(sweeps1, verbose=False)
 print(f"warm sweep: {time.time() - t0:.1f}s", file=sys.stderr)
 
-outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "profile_r3")
+suffix = "" if label_mode == "moving" else f"_{label_mode}"
+outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      f"profile_r3{suffix}")
 t0 = time.time()
 with jax.profiler.trace(outdir):
     eng.run_fused(sweeps1, verbose=False)
@@ -71,8 +76,9 @@ for entry in tab:
         v = [c.get("v") for c in r["c"]]
         rows.append(dict(zip(cols, v)))
 out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "profile_r3_ops.json")
+                   f"profile_r3{suffix}_ops.json")
 with open(out, "w") as f:
     json.dump({"sweep_s": secs, "B": B, "svd_method": svd_method,
+               "label_mode": label_mode, "precision": precision,
                "rows": rows}, f, indent=1)
 print(f"wrote {out} ({len(rows)} rows)", file=sys.stderr)

@@ -146,11 +146,17 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
     """
     Bsz = LE.shape[0]
     Lphi, Rphi = _wing_products(LE, RE, xc, x1, mxu_dtype)
-    if _WING_BARRIER:
+    Kl = 1 if LE.ndim == 2 else LE.shape[1]   # wings may arrive squeezed [B, m]
+    Kr = 1 if RE.ndim == 2 else RE.shape[1]
+    if _WING_BARRIER and Kl == 1 and Kr == 1:
         # The metrics-pass apply otherwise runs HBM-bound at 2.3x the loop
         # applies' time because wing production fuses into it
         # (.bench/profile_r3_ops_baseline.json); the barrier forces Lphi/Rphi
-        # to materialize as their own fusion.  Measured -0.22 s/sweep.
+        # to materialize as their own fusion.  Measured -0.22 s/sweep on the
+        # moving-label headline.  Label-on-core layouts ONLY (K_l == K_r == 1):
+        # when the label rides a wing (fixed layout), Lphi is [B, nl, m, d] —
+        # 565 MB f32 at the full set — and forcing it to materialize measured
+        # 1.55x SLOWER on the blocked fixed engine (55.4 -> 85.9 s/sweep).
         Lphi, Rphi = lax.optimization_barrier((Lphi, Rphi))
     sig = jnp.exp(sigL + sigR)[:, None, None, None]          # [B,1,1,1]
     Y4 = Y.reshape(Bsz, Lphi.shape[1], B5.shape[4], Rphi.shape[1])
