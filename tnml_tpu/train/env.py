@@ -90,9 +90,10 @@ def init_wing_table(cores_st, label_core, xs, c: int, env_dtype=None):
     return tuple(arrs), tuple(sigs)
 
 
-@partial(jax.jit, static_argnames=("fromleft", "out_dtype"))
+@partial(jax.jit, static_argnames=("fromleft", "out_dtype", "fast"))
 def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
-               core: jnp.ndarray, fromleft: bool, out_dtype=None) -> Env:
+               core: jnp.ndarray, fromleft: bool, out_dtype=None,
+               fast: bool = False) -> Env:
     """Extend a wing by one site: E' = E · (φ(x)·W_site)  (fixedL.cc:144-150,223-229).
 
     ``core`` rank 3 ([m,d,m]) keeps K; rank 4 ([m,d,m,L]) injects the label axis
@@ -102,21 +103,31 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     Accepts the squeezed [B, m] storage form; the output is returned SQUEEZED when
     K == 1 (see squeeze_env).  ``x`` arrives in [d, B] storage layout (lanes =
     batch; a [B, d] layout pads d=2 lanes to 128 — a 64x HBM waste).
+
+    ``fast=True`` pins the contraction to DEFAULT matmul precision (single-pass
+    bf16 operands, f32 accumulation) regardless of the global policy.  Used for
+    the blocked engine's per-sweep wing REBUILDS, whose outputs feed bf16-
+    quantized consumption anyway: under the global 'highest' policy the rebuild
+    was 6-pass f32 work discarded by the storage rounding — 67% of the fixed
+    full-set sweep (.bench/PROFILE_r3.md).  On CPU, precision is a no-op
+    (contractions are always f32), so blocked==resident parity tests are
+    unaffected.
     """
+    prec = jax.lax.Precision.DEFAULT if fast else None
     env = unsqueeze_env(env)
     x = x.T
     if core.ndim == 3:
         if fromleft:
-            out = jnp.einsum("bka,bs,asr->bkr", env, x, core)
+            out = jnp.einsum("bka,bs,asr->bkr", env, x, core, precision=prec)
         else:
-            out = jnp.einsum("bkr,bs,asr->bka", env, x, core)
+            out = jnp.einsum("bkr,bs,asr->bka", env, x, core, precision=prec)
     else:
         if env.shape[1] != 1:
             raise ValueError("wing already carries a label axis")
         if fromleft:
-            out = jnp.einsum("bka,bs,asrl->bklr", env, x, core)
+            out = jnp.einsum("bka,bs,asrl->bklr", env, x, core, precision=prec)
         else:
-            out = jnp.einsum("bkr,bs,asrl->bkla", env, x, core)
+            out = jnp.einsum("bkr,bs,asrl->bkla", env, x, core, precision=prec)
         out = out.reshape(out.shape[0], -1, out.shape[-1])
     mx = jnp.max(jnp.abs(out), axis=(1, 2))
     safe = jnp.where(mx > 0, mx, 1.0)

@@ -105,7 +105,10 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             site = t0 + T + 1 - k       # row T-1-k covers sites t0+T+1-k ..
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
-            a, s = env_extend(a, s, x, core, fromleft=False)
+            # fast: rebuilt rows quantize to env_dtype on storage anyway, and
+            # rebuild chains are <= K sites from a quantized boundary — 6-pass
+            # 'highest' work here was 67% of the fixed full-set sweep
+            a, s = env_extend(a, s, x, core, fromleft=False, fast=True)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), T - 1 - k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, T - 1 - k, 0)
             return buf, sg, a, s
@@ -118,7 +121,7 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             site = t0 + k - 1           # row k covers sites 0 .. t0+k-1
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
-            a, s = env_extend(a, s, x, core, fromleft=True)
+            a, s = env_extend(a, s, x, core, fromleft=True, fast=True)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, k, 0)
             return buf, sg, a, s
