@@ -69,6 +69,23 @@ def test_fused_fixed_nl4_matches_perbond():
     np.testing.assert_allclose(ca, cb, rtol=2e-2, atol=1e-4)
 
 
+def test_blocked_nl4_matches_resident():
+    # the sqrt-memory blocked engine must honor n_labels too: its labelled
+    # far-wing buffer shape derives from the label core's own axis
+    W, X, labels = make_problem4(n=10, label_site=4)
+    a = SweepEngine(pack(W, pad=12), X, labels, lam=1e-3, npass=3,
+                    fused_variant="resident")
+    b = SweepEngine(pack(W, pad=12), X, labels, lam=1e-3, npass=3,
+                    fused_variant="blocked", blocked_K=2)
+    sweeps = Sweeps.constant(2, 2, 8, 1e-10)
+    ha = a.run_fused(sweeps, verbose=False)
+    hb = b.run_fused(sweeps, verbose=False)
+    assert hb[-1].per_label_cost.shape == (NL,)
+    ca = np.array([s.cost for s in ha])
+    cb = np.array([s.cost for s in hb])
+    np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-6)
+
+
 def test_fused_moving_nl4_runs_and_descends():
     W, X, labels = make_problem4(n=8, label_site=3)
     W.move_label(0, cutoff=1e-12, maxm=8)
