@@ -283,6 +283,29 @@ def test_split_bond_ritz_matches_host_svd(label_leg, iso_left):
         np.testing.assert_allclose(gram[:k, :k], np.eye(k), atol=1e-4)
 
 
+def test_engine_ritz_tracks_gram_trajectory():
+    """End-to-end sweeps with svd_method='ritz' at a pad large enough to
+    engage the subspace iteration (q = pad+16 < d*pad) must track the gram
+    trajectory closely — ritz is the bench default for the moving layout."""
+    pad = 24
+    W, X, labels = make_problem(n=8, batch=16, label_site=3,
+                                dims=[1] + [pad] * 7 + [1], seed=4)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    W.move_label(0, cutoff=1e-12, maxm=pad)
+    hists = {}
+    for method in ("gram", "ritz"):
+        eng = SweepEngine(pack(W, pad=pad), X, labels, lam=1e-3, npass=3,
+                          label_mode="moving", method="fast_conj_exact",
+                          svd_method=method)
+        hists[method] = eng.run_fused(Sweeps.constant(2, 4, pad, 1e-10),
+                                      verbose=False)
+    cg = np.array([s.cost for s in hists["gram"]])
+    cr = np.array([s.cost for s in hists["ritz"]])
+    ok = np.isfinite(cg) & np.isfinite(cr)
+    assert ok.sum() > len(cg) // 2
+    np.testing.assert_allclose(cr[ok], cg[ok], rtol=2e-2, atol=1e-4)
+
+
 # ---- integration: tiny end-to-end training ---------------------------------------
 
 
