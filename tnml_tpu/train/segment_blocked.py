@@ -22,12 +22,20 @@ at the full set, which fits one chip alongside the model and features.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Rebuild-carry dtype experiment (read once at import, traced-in statically):
+# 'bf16' keeps the rebuild chain's wing carry in bfloat16 between extends —
+# halves the dominant HBM traffic of the blocked engine (.bench/PROFILE_r3.md)
+# at the cost of one extra rounding per crossed site (chains are <= K sites
+# from an already-quantized boundary).  Default 'f32' = quantize-once.
+_REBUILD_CARRY_BF16 = os.environ.get("TNML_REBUILD_CARRY", "f32") == "bf16"
 
 from tnml_tpu.train import step as step_ops
 from tnml_tpu.train.env import env_extend
@@ -108,7 +116,8 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             # fast: rebuilt rows quantize to env_dtype on storage anyway, and
             # rebuild chains are <= K sites from a quantized boundary — 6-pass
             # 'highest' work here was 67% of the fixed full-set sweep
-            a, s = env_extend(a, s, x, core, fromleft=False, fast=True)
+            a, s = env_extend(a, s, x, core, fromleft=False, fast=True,
+                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None))
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), T - 1 - k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, T - 1 - k, 0)
             return buf, sg, a, s
@@ -121,13 +130,15 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             site = t0 + k - 1           # row k covers sites 0 .. t0+k-1
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
-            a, s = env_extend(a, s, x, core, fromleft=True, fast=True)
+            a, s = env_extend(a, s, x, core, fromleft=True, fast=True,
+                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None))
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, k, 0)
             return buf, sg, a, s
 
+    carry_dt = dt if _REBUILD_CARRY_BF16 else jnp.float32
     far_buf, far_sig, _, _ = lax.fori_loop(
-        1, T, build, (far_buf, far_sig, b_arr.astype(jnp.float32), b_sig))
+        1, T, build, (far_buf, far_sig, b_arr.astype(carry_dt), b_sig))
 
     npass_len = step_ops.stats_len(npass, nl)
 
