@@ -90,10 +90,11 @@ def init_wing_table(cores_st, label_core, xs, c: int, env_dtype=None):
     return tuple(arrs), tuple(sigs)
 
 
-@partial(jax.jit, static_argnames=("fromleft", "out_dtype", "fast"))
+@partial(jax.jit, static_argnames=("fromleft", "out_dtype", "fast",
+                                   "normalize"))
 def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
                core: jnp.ndarray, fromleft: bool, out_dtype=None,
-               fast: bool = False) -> Env:
+               fast: bool = False, normalize: bool = True) -> Env:
     """Extend a wing by one site: E' = E · (φ(x)·W_site)  (fixedL.cc:144-150,223-229).
 
     ``core`` rank 3 ([m,d,m]) keeps K; rank 4 ([m,d,m,L]) injects the label axis
@@ -129,12 +130,19 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
         else:
             out = jnp.einsum("bkr,bs,asrl->bkla", env, x, core, precision=prec)
         out = out.reshape(out.shape[0], -1, out.shape[-1])
-    mx = jnp.max(jnp.abs(out), axis=(1, 2))
-    safe = jnp.where(mx > 0, mx, 1.0)
-    out = out / safe[:, None, None]
+    if normalize:
+        # per-image max-normalization, scale tracked in sigma.  Skippable
+        # (normalize=False) over short chains of near-isometric cores — the
+        # scale rides in the values instead, mathematically identical, and
+        # floating-point precision is scale-invariant; saves the full
+        # [B, K, m] max+div passes per extend (blocked rebuilds).
+        mx = jnp.max(jnp.abs(out), axis=(1, 2))
+        safe = jnp.where(mx > 0, mx, 1.0)
+        out = out / safe[:, None, None]
+        sigma = sigma + jnp.log(safe)
     if out_dtype is not None:
         out = out.astype(out_dtype)
-    return squeeze_env(out), sigma + jnp.log(safe)
+    return squeeze_env(out), sigma
 
 
 @partial(jax.jit, static_argnames=("dtype",))

@@ -37,6 +37,12 @@ from jax import lax
 # from an already-quantized boundary).  Default 'f32' = quantize-once.
 _REBUILD_CARRY_BF16 = os.environ.get("TNML_REBUILD_CARRY", "f32") == "bf16"
 
+# 'TNML_REBUILD_NONORM=1' skips the per-extend max/div normalization inside
+# rebuild chains (crossed cores are canonical => near-isometric, so scale
+# drift over <= K sites is bounded; scale rides in the values, sigma math
+# unchanged).  Saves the [B, nl, m] max+div passes per extend.
+_REBUILD_NONORM = os.environ.get("TNML_REBUILD_NONORM", "0") == "1"
+
 from tnml_tpu.train import step as step_ops
 from tnml_tpu.train.env import env_extend
 from tnml_tpu.train.segment_fixed import plain_bond_body
@@ -117,7 +123,8 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             # rebuild chains are <= K sites from a quantized boundary — 6-pass
             # 'highest' work here was 67% of the fixed full-set sweep
             a, s = env_extend(a, s, x, core, fromleft=False, fast=True,
-                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None))
+                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
+                              normalize=not _REBUILD_NONORM)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), T - 1 - k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, T - 1 - k, 0)
             return buf, sg, a, s
@@ -131,7 +138,8 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
             a, s = env_extend(a, s, x, core, fromleft=True, fast=True,
-                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None))
+                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
+                              normalize=not _REBUILD_NONORM)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, k, 0)
             return buf, sg, a, s
