@@ -74,6 +74,17 @@ def test_env_extend_log_scale():
                                raw, rtol=1e-5)
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-6
 
+    # normalize=False: scale rides in the values, sigma untouched — the
+    # effective wing value·exp(sigma) is identical (blocked rebuild fast path)
+    out_nn, sig_nn = env_extend(e, sig, x, core, fromleft=True, normalize=False)
+    np.testing.assert_array_equal(np.asarray(sig_nn), np.asarray(sig))
+    np.testing.assert_allclose(
+        np.asarray(out_nn) * np.exp(np.asarray(sig_nn))[:, None], raw, rtol=1e-5)
+    # fast=True is a precision hint only — bit-identical on the CPU backend
+    out_f, sig_f = env_extend(e, sig, x, core, fromleft=True, fast=True)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(sig_f), np.asarray(sig2))
+
 
 # ---- quadcost ----------------------------------------------------------------
 
