@@ -6,7 +6,14 @@ engine — the best-performing mode; set TNML_BENCH_LABEL_MODE=fixed for the
 reference's fixed-label layout (auto-routed to the sqrt-memory blocked engine
 at full-set batch sizes, train/segment_blocked.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  Robustness
+(round-3 post-mortem — BENCH_r03 recorded nothing): a provisional copy of the
+line is printed after EVERY measured sweep (the last line on stdout is always
+the best current measurement), and a watchdog thread converts any hang (wedged
+device claim, compile stall) into a parseable diagnostic line + nonzero exit
+instead of an rc=124 with empty stdout.  Stage budgets are env-tunable:
+TNML_BENCH_DEVICE_BUDGET (600 s), TNML_BENCH_COLD_BUDGET (600 s),
+TNML_BENCH_COMPILE_BUDGET (1200 s), TNML_BENCH_SWEEP_BUDGET (600 s).
 
 Config (BASELINE.md "fixedL full" anchor, scaled by TNML_BENCH_B): N=784 sites,
 feature='series' with the reference's double-/255 normalization, fixed label index at
@@ -48,11 +55,65 @@ cap-checked against the detected chip's bf16 peak — exceeding it fails the run
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Watchdog (round-3 post-mortem: BENCH_r03.json recorded rc=124/parsed=null
+# because the process hung at or before first device use — a wedged TPU pool
+# claim gives jax.devices() no timeout of its own).  A daemon thread tracks
+# the current stage and its budget; on breach it prints a parseable JSON line
+# (the provisional result if one exists, else {"error": ...}) and hard-exits,
+# so the driver's `timeout` never reaps a silent process.
+# ---------------------------------------------------------------------------
+_WD = {"stage": "startup", "t0": time.time(), "budget": 120.0, "best": None}
+_WD_LOCK = threading.Lock()
+
+
+def _stage(name: str, budget_s: float) -> None:
+    with _WD_LOCK:
+        _WD["stage"] = name
+        _WD["t0"] = time.time()
+        _WD["budget"] = budget_s
+    print(f"[bench] stage: {name} (budget {budget_s:.0f}s)", file=sys.stderr)
+
+
+def _provisional(result: dict) -> None:
+    """Record + print a parseable result line NOW; a later timeout/watchdog
+    still leaves this line on stdout (the final line overwrites it)."""
+    with _WD_LOCK:
+        _WD["best"] = result
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog() -> None:
+    while True:
+        time.sleep(5.0)
+        with _WD_LOCK:
+            stage, t0, budget, best = (_WD["stage"], _WD["t0"],
+                                       _WD["budget"], _WD["best"])
+        if time.time() - t0 <= budget:
+            continue
+        if best is not None:
+            # a provisional result was already printed; reprint as the last
+            # line and exit 0 — the measurement is real, only extras timed out
+            print(f"[bench] watchdog: stage {stage!r} exceeded {budget:.0f}s "
+                  "after a measured sweep; emitting provisional result",
+                  file=sys.stderr)
+            print(json.dumps(best), flush=True)
+            os._exit(0)
+        print(json.dumps({
+            "error": f"watchdog: stage {stage!r} exceeded {budget:.0f}s "
+                     "with no measured sweep (wedged device claim or compile "
+                     "stall — see BENCH_r03 post-mortem)",
+            "metric": "fixedL sweep wall-clock", "value": None,
+            "unit": "s/sweep", "vs_baseline": None,
+        }), flush=True)
+        os._exit(3)
 
 
 def main() -> int:
@@ -68,8 +129,17 @@ def main() -> int:
     n_sites = int(os.environ.get("TNML_BENCH_N", 784))
     size = int(round(n_sites ** 0.5))
 
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    # honor an explicit JAX_PLATFORMS env var: the axon sitecustomize's
+    # register() overrides the config to "axon,cpu" at interpreter start, so
+    # JAX_PLATFORMS=cpu in the environment would otherwise be silently ignored
+    # (and a CPU smoke run would wedge on the TPU pool claim)
+    from tnml_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
 
     from tnml_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -79,7 +149,13 @@ def main() -> int:
     from tnml_tpu.ops.feature import FEATURE_SERIES, featurize
     from tnml_tpu.train.schedule import Sweeps
 
+    # device acquisition is the round-3 hang site: a wedged pool claim blocks
+    # here indefinitely (memory: killed axon jobs can wedge the claim for
+    # hours) — fail with a diagnostic line instead
+    _stage("device acquisition", float(os.environ.get(
+        "TNML_BENCH_DEVICE_BUDGET", 600)))
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    _stage("data load + featurize", 300.0)
     ds = read_mnist("/root/reference/mllib/MNIST", TRAIN, nt=max(1, B // 10),
                     size=size, verbose=False)
     X = featurize(ds.images, FEATURE_SERIES, d=2)
@@ -97,6 +173,7 @@ def main() -> int:
     cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
                        ninitial=10, pad=maxm, label_mode=label_mode, method=method,
                        precision=precision, svd_method=svd_method)
+    _stage("cold start", float(os.environ.get("TNML_BENCH_COLD_BUDGET", 600)))
     t0 = time.time()
     w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
     model = FixedLModel(w)
@@ -117,21 +194,13 @@ def main() -> int:
     # one chip run_fused auto-routes to the sqrt-memory blocked engine
     # (segment_blocked.py) — the full 58,862-image set runs single-chip there
     run = eng.run_fused
+    # warm compile: ~460 s on a cold persistent cache (BENCH_r02 tail)
+    _stage("warm sweep (compile)", float(os.environ.get(
+        "TNML_BENCH_COMPILE_BUDGET", 1200)))
     t0 = time.time()
     run(sweeps1, verbose=False)
     warm = time.time() - t0
     print(f"[bench] warm sweep (compile): {warm:.1f}s", file=sys.stderr)
-
-    times = []
-    for i in range(nsweeps):
-        t0 = time.time()
-        hist = run(sweeps1, verbose=False)
-        times.append(time.time() - t0)
-        print(f"[bench] sweep {i + 2}: {times[-1]:.2f}s "
-              f"cost/NT={hist[-1].cost / eng.nt:.6f} "
-              f"correct={hist[-1].ncorrect}/{eng.nt} "
-              f"maxrank={int(eng.ranks.max())}", file=sys.stderr)
-    secs = float(np.mean(times))
 
     # analytic reference estimate (see module docstring)
     d, L, NT, N = 2, 10, X.shape[0], X.shape[1]
@@ -148,44 +217,71 @@ def main() -> int:
     # shift_report), so it adds no flops.
     md = maxm * d
     our_per_bond = (npass + 1) * 4 * NT * md * md * L
-    tflops = our_per_bond * 2 * (N - 1) / secs / 1e12
-    # falsifiability cap: sustained FLOP/s must not exceed the chip's peak
     kind = jax.devices()[0].device_kind.lower()
     peaks = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0,
              "v6e": 918.0, "cpu": 10.0}
     peak = next((v for k, v in peaks.items() if k in kind), None)
-    if peak is not None and tflops > peak:
-        print(f"[bench] ERROR: computed {tflops:.1f} TF/s exceeds the "
-              f"{kind} bf16 peak {peak} TF/s — FLOP accounting is wrong",
-              file=sys.stderr)
+
+    def make_result(secs: float, n_measured: int):
+        tflops = our_per_bond * 2 * (N - 1) / secs / 1e12
+        # falsifiability cap: sustained FLOP/s must not exceed the chip peak
+        if peak is not None and tflops > peak:
+            print(f"[bench] ERROR: computed {tflops:.1f} TF/s exceeds the "
+                  f"{kind} bf16 peak {peak} TF/s — FLOP accounting is wrong",
+                  file=sys.stderr)
+            return None
+        out = {
+            "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
+                      f"npass={npass}, {method}, {label_mode} label, "
+                      f"env={env_dtype_s}, prec={precision})",
+            "value": round(secs, 3),
+            "unit": "s/sweep",
+            "vs_baseline": round(ref_seconds / secs, 2),
+            "tflops_sustained": round(tflops, 1),
+            "n_measured_sweeps": n_measured,
+        }
+        # MEASURED CPU anchor (VERDICT r2 item 5): .bench/cpu_baseline.py times
+        # the engine's own fused_bond_step on the JAX CPU backend at the
+        # headline shapes; vs_cpu scales its single-core per-bond time by the
+        # reference's 16-thread cap (perfect scaling — generous to the
+        # reference) and by the batch ratio (per-bond work is linear in B),
+        # then compares full sweeps.
+        cpu_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench", "cpu_baseline.json")
+        if os.path.exists(cpu_path):
+            with open(cpu_path) as f:
+                cpu = json.load(f)
+            per_bond = cpu.get(f"per_bond_s_1core_{label_mode}")
+            if per_bond and cpu.get("config", {}).get("maxm") == maxm and \
+                    cpu["config"].get("npass") == npass:
+                scale = (NT / cpu["config"]["B"]) / 16.0
+                cpu_sweep = per_bond * scale * 2 * (N - 1)
+                out["vs_cpu_measured_16t"] = round(cpu_sweep / secs, 2)
+                out["cpu_1core_bond_s"] = per_bond
+        return out
+
+    times = []
+    sweep_budget = float(os.environ.get("TNML_BENCH_SWEEP_BUDGET", 600))
+    for i in range(nsweeps):
+        _stage(f"measured sweep {i + 1}/{nsweeps}", sweep_budget)
+        t0 = time.time()
+        hist = run(sweeps1, verbose=False)
+        times.append(time.time() - t0)
+        print(f"[bench] sweep {i + 2}: {times[-1]:.2f}s "
+              f"cost/NT={hist[-1].cost / eng.nt:.6f} "
+              f"correct={hist[-1].ncorrect}/{eng.nt} "
+              f"maxrank={int(eng.ranks.max())}", file=sys.stderr)
+        # one measured sweep = a real number; make it survivable immediately
+        prov = make_result(float(np.mean(times)), len(times))
+        if prov is None:
+            return 1
+        _provisional(prov)
+
+    _stage("final result emission", 120.0)
+    out = make_result(float(np.mean(times)), len(times))
+    if out is None:
         return 1
-    out = {
-        "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
-                  f"npass={npass}, {method}, {label_mode} label, env={env_dtype_s}, "
-                  f"prec={precision})",
-        "value": round(secs, 3),
-        "unit": "s/sweep",
-        "vs_baseline": round(ref_seconds / secs, 2),
-        "tflops_sustained": round(tflops, 1),
-    }
-    # MEASURED CPU anchor (VERDICT r2 item 5): .bench/cpu_baseline.py times the
-    # engine's own fused_bond_step on the JAX CPU backend at the headline
-    # shapes; vs_cpu scales its single-core per-bond time by the reference's
-    # 16-thread cap (perfect scaling — generous to the reference) and by the
-    # batch ratio (per-bond work is linear in B), then compares full sweeps.
-    cpu_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".bench", "cpu_baseline.json")
-    if os.path.exists(cpu_path):
-        with open(cpu_path) as f:
-            cpu = json.load(f)
-        per_bond = cpu.get(f"per_bond_s_1core_{label_mode}")
-        if per_bond and cpu.get("config", {}).get("maxm") == maxm and \
-                cpu["config"].get("npass") == npass:
-            scale = (NT / cpu["config"]["B"]) / 16.0
-            cpu_sweep = per_bond * scale * 2 * (N - 1)
-            out["vs_cpu_measured_16t"] = round(cpu_sweep / secs, 2)
-            out["cpu_1core_bond_s"] = per_bond
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     return 0
 
 

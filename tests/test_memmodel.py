@@ -1,0 +1,106 @@
+"""The fixed-layout memory model has exactly ONE copy (train/memmodel.py):
+the model-level router (models/fixedl.py::_use_fused), the engine variant
+choice (engine.py::_fixed_variant), and the resident preflight
+(engine.py::_fused_init_fixed) must agree bit-for-bit on sizing and budget.
+Round-3 review found three divergent copies; these tests pin the contract."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+
+from tnml_tpu.mps.pack import pack
+from tnml_tpu.train import memmodel
+from tnml_tpu.train.engine import SweepEngine
+
+from tests.test_engine import make_problem
+
+
+def test_fixed_layout_bytes_full_set():
+    # the documented full-MNIST numbers: ~55 GB labelled + ~11 GB plain at
+    # B=58,862, N=784, c=392, pad=120, bf16 wings (README / BENCH_r03 story)
+    sz = memmodel.fixed_layout_bytes(58862, 120, 10, 392, 784, 2)
+    assert 50e9 < sz["labelled"] < 60e9
+    assert 9e9 < sz["plain"] < 13e9
+    assert sz["total"] == sz["labelled"] + sz["plain"]
+    assert sz["rows"] == max(392 - 1, 784 - 2 - 392)
+    # and the blocked engine's sqrt-memory residency fits a 13 GiB budget
+    K = 20
+    blocked = memmodel.blocked_layout_bytes(sz["rows"], sz["row_bytes"], K)
+    assert blocked < 13 * 2**30
+
+
+def test_budget_env_override(monkeypatch):
+    monkeypatch.setenv("TNML_FUSED_FIXED_MAX_BYTES", "123456")
+    assert memmodel.fused_budget_bytes() == 123456.0
+    monkeypatch.delenv("TNML_FUSED_FIXED_MAX_BYTES")
+    # no env: derived from the device or the 13 GiB fallback — either way sane
+    b = memmodel.fused_budget_bytes()
+    assert 1e9 < b < 1e12
+
+
+class _FakeTpu:
+    platform = "tpu"
+    device_kind = "fake v5e"
+
+    def memory_stats(self):
+        return {"bytes_limit": 16 * 2**30}
+
+
+def _engine(n=8, batch=10, c=3, seed=7):
+    W, X, labels = make_problem(n=n, batch=batch, label_site=c, seed=seed)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    return SweepEngine(pack(W, pad=8), X, labels, label_mode="fixed")
+
+
+def test_router_and_preflight_agree(monkeypatch):
+    """_fixed_variant routes to 'blocked' exactly when _fused_init_fixed's
+    preflight would refuse the resident buffers — same function, same knob."""
+    eng = _engine()
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeTpu()])
+
+    monkeypatch.setenv("TNML_FUSED_FIXED_MAX_BYTES", "10")   # absurdly small
+    assert eng._fixed_variant() == "blocked"
+    with pytest.raises(ValueError, match="wing budget"):
+        eng._fused_init_fixed()
+
+    monkeypatch.setenv("TNML_FUSED_FIXED_MAX_BYTES", "1e18")
+    assert eng._fixed_variant() == "resident"
+    eng._fused_init_fixed()   # same budget → preflight passes
+
+
+def test_budget_derived_from_device(monkeypatch):
+    """Advisor finding (round 3): the budget must track the detected chip's
+    HBM, not a hardcoded 16 GB assumption."""
+    monkeypatch.delenv("TNML_FUSED_FIXED_MAX_BYTES", raising=False)
+
+    class Big(_FakeTpu):
+        def memory_stats(self):
+            return {"bytes_limit": 95 * 2**30}   # v5p-class
+
+    assert memmodel.fused_budget_bytes(device=_FakeTpu()) == \
+        pytest.approx(0.85 * 16 * 2**30)
+    assert memmodel.fused_budget_bytes(device=Big()) == \
+        pytest.approx(0.85 * 95 * 2**30)
+
+    class NoStats(_FakeTpu):
+        def memory_stats(self):
+            raise NotImplementedError
+
+    assert memmodel.fused_budget_bytes(device=NoStats()) == \
+        memmodel._FALLBACK_BUDGET
+
+
+def test_shard_count_and_per_chip():
+    assert memmodel.shard_count(None) == 1
+    devs = jax.devices()
+    if len(devs) >= 2:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        mesh = Mesh(np.array(devs), ("dp",))
+        sh = NamedSharding(mesh, PartitionSpec("dp"))
+        assert memmodel.shard_count(sh) == len(devs)
+        one = memmodel.per_chip_total(800, 16, 10, 4, 10, 2, None)
+        split = memmodel.per_chip_total(800, 16, 10, 4, 10, 2, sh)
+        assert split == pytest.approx(one / len(devs))

@@ -26,7 +26,9 @@ def load_config(argv) -> Config:
         print(f"Usage: {argv[0]} inputfile")
         sys.exit(0)
     from tnml_tpu.utils.cache import enable_compilation_cache
+    from tnml_tpu.utils.platform import honor_jax_platforms_env
     from tnml_tpu.utils.precision import configure_matmul_precision
+    honor_jax_platforms_env()   # JAX_PLATFORMS=cpu must really mean cpu
     enable_compilation_cache()
     configure_matmul_precision()
     return read_input_file(argv[1])

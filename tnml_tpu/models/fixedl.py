@@ -205,11 +205,13 @@ class FixedLModel:
     def _use_fused(self, eng, cfg: FixedLConfig, verbose=False) -> bool:
         """Scan-fused sweeps whenever the method allows it.  The fixed-label
         layout's far-wing buffer is 10x wider than the moving mode's; when it
-        would not fit device memory (TNML_FUSED_FIXED_MAX_BYTES, default 10 GB)
-        the sqrt-memory blocked engine (train/segment_blocked.py) takes over,
-        and only if even its boundary rows would not fit does the run fall back
-        to the per-bond engine (with its offload-capable env table).
+        would not fit the device wing budget (train/memmodel.py — the single
+        sizing model, TNML_FUSED_FIXED_MAX_BYTES overrides) the sqrt-memory
+        blocked engine (train/segment_blocked.py) takes over, and only if even
+        its boundary rows would not fit does the run fall back to the per-bond
+        engine (with its offload-capable env table).
         """
+        from tnml_tpu.train import memmodel
         if cfg.method not in ("conj", "fast_conj", "fast_conj_exact"):
             return False
         if cfg.label_mode == "moving":
@@ -217,27 +219,30 @@ class FixedLModel:
         if not eng._fused_supported():
             return False
         c, n = eng.label_site, eng.n
-        rows = max(c - 1, n - 2 - c)
         itemsize = 2 if cfg.env_dtype in ("bf16", "bfloat16") else 4
-        row_bytes = eng.nt * (eng.model.n_labels or 10) * eng.pad * itemsize
-        need = rows * row_bytes
-        limit = float(os.environ.get("TNML_FUSED_FIXED_MAX_BYTES", 10e9))
-        if need >= limit:
+        chips = memmodel.shard_count(eng.sharding)
+        sz = memmodel.fixed_layout_bytes(-(-eng.nt // chips), eng.pad,
+                                         eng.model.n_labels or 10, c, n,
+                                         itemsize)
+        limit = memmodel.fused_budget_bytes()
+        if sz["total"] > limit:
             eng.blocked_K = eng.blocked_K or \
                 int(os.environ.get("TNML_BLOCKED_K", 0)) or None
-            K = eng.blocked_K or eng._pick_block(rows)
-            # boundaries + in-jit rebuild buffer + f32 carries, with headroom
-            need_blocked = (-(-rows // K) + 2 * K + 6) * row_bytes
+            K = eng.blocked_K or eng._pick_block(sz["rows"])
+            need_blocked = memmodel.blocked_layout_bytes(sz["rows"],
+                                                         sz["row_bytes"], K)
             if need_blocked < limit:
                 if verbose:
                     print(f"[fused] labeled wing stack would need "
-                          f"{need / 1e9:.1f} GB; using the blocked engine "
-                          f"(K={K}, ~{need_blocked / 1e9:.1f} GB)")
+                          f"{sz['labelled'] / 1e9:.1f} GB/chip; using the "
+                          f"blocked engine (K={K}, "
+                          f"~{need_blocked / 1e9:.1f} GB)")
                 eng.fused_variant = "blocked"
                 return True
             if verbose:
-                print(f"[fused] labeled wing buffer would need {need / 1e9:.1f} "
-                      f"GB (> {limit / 1e9:.1f} GB even blocked); using the "
+                print(f"[fused] labeled wing buffer would need "
+                      f"{sz['labelled'] / 1e9:.1f} GB/chip "
+                      f"(> {limit / 1e9:.1f} GB even blocked); using the "
                       "per-bond engine")
             return False
         return True

@@ -105,8 +105,10 @@ def estimate_hbm(batch: int, n_sites: int, pad: int, *, d: int = 2,
     if label_mode == "moving":
         out["wings"] = wings_plain
     else:
-        half = max(n_sites // 2 - 2, 1)
-        out["wings"] = wings_plain + half * bpc * n_labels * pad * env_bytes
+        # fixed layout: delegate to the single sizing model (train/memmodel.py)
+        from tnml_tpu.train.memmodel import fixed_layout_bytes
+        out["wings"] = fixed_layout_bytes(bpc, pad, n_labels, n_sites // 2,
+                                          n_sites, env_bytes)["total"]
     out["total"] = sum(out.values())
     return out
 

@@ -758,20 +758,26 @@ class SweepEngine:
         self._sync_fused()   # a prior (e.g. blocked) fused run may be dirty
         c = self.label_site
         # preflight the dominant buffer instead of dying in the compiler: the
-        # bond-aligned labelled wing buffer is R x [B, 10, pad]
+        # bond-aligned labelled wing buffer is R x [B, nl, pad].  Sizing +
+        # budget come from train/memmodel.py (the single copy), per chip.
+        from tnml_tpu.train import memmodel
         nl = self.model.n_labels or 10
-        R = max(c - 1, self.n - 2 - c)
         itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
-        lab_gb = R * self.nt * nl * self.pad * itemsize / 2**30
-        plain_gb = (self.n - 1) * self.nt * self.pad * itemsize / 2**30
+        chips = memmodel.shard_count(self.sharding)
+        sz = memmodel.fixed_layout_bytes(-(-self.nt // chips), self.pad, nl,
+                                         c, self.n, itemsize)
+        budget = memmodel.fused_budget_bytes()
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        if lab_gb + plain_gb > 13.0 and self.sharding is None and on_tpu:
+        if sz["total"] > budget and on_tpu:
             raise ValueError(
-                f"fixed-label fused buffers need ~{lab_gb + plain_gb:.1f} GB "
-                f"({lab_gb:.1f} GB labelled wings + {plain_gb:.1f} GB plain) — "
-                "beyond one 16 GB chip. Shard the batch over a mesh (dp=...), "
-                "reduce Ntrain/pad, or run out-of-core via the per-bond engine "
-                "with offload=host|spool (the reference's Nbatch semantics).")
+                f"fixed-label fused buffers need ~{sz['total'] / 2**30:.1f} GB"
+                f"/chip ({sz['labelled'] / 2**30:.1f} GB labelled wings + "
+                f"{sz['plain'] / 2**30:.1f} GB plain; batch over {chips} "
+                f"chip(s)) — beyond the ~{budget / 2**30:.1f} GB wing budget. "
+                "Shard the batch over a mesh (dp=...), reduce Ntrain/pad, use "
+                "the blocked engine (fused_variant='blocked'), or run "
+                "out-of-core via the per-bond engine with offload=host|spool "
+                "(the reference's Nbatch semantics).")
         # site-aligned plain core stack; the label core (rank 4) rides separately
         zeros = jnp.zeros_like(self.cores[0 if c != 0 else 1])
         rows = [self.cores[j] if j != c else zeros for j in range(self.n)]
@@ -958,21 +964,26 @@ class SweepEngine:
         """Resolve the fixed-label fused engine variant: the resident engine
         (full bond-aligned wing stacks, segment_fixed) when they fit one chip,
         the checkpointed-rebuild blocked engine (segment_blocked) otherwise.
-        TNML_FUSED_VARIANT=resident|blocked overrides the auto choice."""
+        TNML_FUSED_VARIANT=resident|blocked overrides the auto choice.
+        Sizing and budget live in train/memmodel.py (the single copy); the
+        footprint is per-chip, so a dp-sharded batch keeps the resident
+        engine proportionally longer."""
         import os
+        from tnml_tpu.train import memmodel
         v = self.fused_variant
         if v == "auto":
             v = os.environ.get("TNML_FUSED_VARIANT", "auto")
         if v != "auto":
             return v
-        c, n = self.label_site, self.n
-        nl = self.model.n_labels or 10
-        R = max(c - 1, n - 2 - c)
-        itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
-        lab_gb = R * self.nt * nl * self.pad * itemsize / 2**30
-        plain_gb = (n - 1) * self.nt * self.pad * itemsize / 2**30
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        if lab_gb + plain_gb > 13.0 and self.sharding is None and on_tpu:
+        if not on_tpu:
+            return "resident"   # test backends: no 16 GB HBM ceiling
+        itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
+        total = memmodel.per_chip_total(self.nt, self.pad,
+                                        self.model.n_labels or 10,
+                                        self.label_site, self.n, itemsize,
+                                        self.sharding)
+        if total > memmodel.fused_budget_bytes():
             return "blocked"
         return "resident"
 
