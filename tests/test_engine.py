@@ -500,3 +500,70 @@ def test_config_env_dtype_plumbing():
     import pytest as _pt
     with _pt.raises(ValueError, match="not recognized"):
         FixedLConfig(env_dtype="f8")._dtype("f8")
+
+
+@pytest.mark.parametrize("method", ["gram", "ritz"])
+@pytest.mark.parametrize("label_leg,iso_left", [("none", False), ("none", True),
+                                                ("right", False), ("left", True)])
+def test_split_iso_orthonormal_ill_conditioned(method, label_leg, iso_left):
+    """Round-4 collapse root cause (docs/DESIGN.md 'Pseudo-isometry compounding'):
+    with a sigma spread of 1e-6, the old sinv-reconstructed isometric factor had
+    row errors ~ eps*sigma_max/sigma_i (up to ~1e-1 in f32).  The iso-aware gram
+    side + QR polish must give an orthonormal-to-fp factor on the ISO side in
+    EVERY (label_leg, iso_left) combination, while keeping the product equal to
+    the rank-masked projection."""
+    pad, d = 12, 2
+    L = 10 if label_leg != "none" else 1
+    k = pad * d
+    r2 = np.random.default_rng(11)
+    # spectrum: 3 decades across the KEPT window (still resolvable by an f32
+    # gram, whose sigma floor is ~3e-4*sigma_max), plus a tiny discarded tail
+    s_true = np.concatenate([np.logspace(0, -3, pad), np.full(k - pad, 1e-6)])
+    if label_leg == "left":
+        rows, cols = pad * d * L, pad * d
+    else:
+        rows, cols = pad * d, pad * d * L
+    U0 = np.linalg.qr(r2.normal(size=(rows, k)))[0]
+    V0 = np.linalg.qr(r2.normal(size=(cols, k)))[0]
+    M = (U0 * s_true) @ V0.T
+    if label_leg == "left":
+        B5 = M.reshape(pad, d, L, d, pad).transpose(0, 1, 3, 4, 2)
+    else:
+        B5 = M.reshape(pad, d, d, pad, L)
+    B5 = jnp.asarray(B5, jnp.float32)
+    maxm = pad
+    wl, wr, rank, truncerr = bond_ops.split_bond(
+        B5, jnp.float32(1e-12), jnp.int32(maxm), jnp.int32(1),
+        label_leg=label_leg, iso_left=iso_left, method=method)
+    rank = int(rank)
+    assert rank == maxm
+
+    # isometry on the indicated side, WITHIN the rank window
+    if iso_left:
+        wlm = np.asarray(wl, np.float64)
+        if label_leg == "left":
+            wlm = wlm.transpose(0, 1, 3, 2).reshape(rows, pad)
+        else:
+            wlm = wlm.reshape(rows, pad)
+        gram = (wlm.T @ wlm)[:rank, :rank]
+    else:
+        wrm = np.asarray(wr, np.float64)
+        if label_leg == "right":
+            wrm = wrm.reshape(pad, cols)
+        else:
+            wrm = wrm.reshape(pad, cols)
+        gram = (wrm @ wrm.T)[:rank, :rank]
+    np.testing.assert_allclose(gram, np.eye(rank), atol=5e-5)
+
+    # product == rank-masked projection of M (to fp accuracy at sigma_max scale)
+    if label_leg == "left":
+        rec = np.einsum("asml,mtr->astrl", np.asarray(wl), np.asarray(wr))
+        rec_m = rec.transpose(0, 1, 4, 2, 3).reshape(rows, cols)
+    elif label_leg == "right":
+        rec = np.einsum("asm,mtrl->astrl", np.asarray(wl), np.asarray(wr))
+        rec_m = rec.reshape(rows, cols)
+    else:
+        rec = np.einsum("asm,mtr->astr", np.asarray(wl), np.asarray(wr))
+        rec_m = rec.reshape(rows, cols)
+    proj = (U0[:, :rank] * s_true[:rank]) @ V0[:, :rank].T
+    np.testing.assert_allclose(rec_m, proj, atol=5e-5)

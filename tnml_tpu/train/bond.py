@@ -112,7 +112,7 @@ class CGResult(NamedTuple):
                              # line-search identity f(B_{i+1}) = f(B_i) - a_i|r_i|^2
                              # (exact for 'conj'/'fast_conj_exact'; drifts for the
                              # reference's lambda-drifting 'fast_conj' recurrence)
-    pl0: jnp.ndarray         # [10] per-true-label cost of the INCOMING bond
+    pl0: jnp.ndarray         # [nl] per-true-label cost of the INCOMING bond
                              # (metrics=True only, else zeros)
     ncor0: jnp.ndarray       # n correct of the INCOMING bond (metrics=True only)
     reg0: jnp.ndarray        # lam*|B_in|^2 (metrics=True only)
@@ -373,6 +373,37 @@ def _trunc_rank(s, cutoff, maxm, minm, total=None):
     return r, mask, truncerr
 
 
+def _polish_iso_right(left_m, right_m, mask):
+    """Exact-orthonormalize a sinv-built RIGHT isometric factor.
+
+    ``right_m`` ~ Vt was formed as sinv·(U^T M): its row errors scale like
+    eps·sigma_max/sigma_i, catastrophic at rank-saturated bonds.  QR the rows
+    (right_m^T = Q R, so right_m = R^T Q^T), keep Q^T as the isometry, absorb
+    R^T into the sigma-carrying left factor — the product left·right is
+    algebraically unchanged while the absorbed-into-wing factor becomes
+    orthonormal to QR (backward-stable) accuracy.
+
+    Masking: rows BEYOND the rank window are zeroed — exact, because the
+    corresponding columns of the QR input are zero, which forces those rows of
+    R to zero, so the dropped outer-product terms vanish identically.  Rows
+    INSIDE the window (incl. minm-forced sv==0 directions) are kept even where
+    they are arbitrary orthonormal completions — the same semantics LAPACK SVD
+    gives zero singular values, and zeroing them would break product exactness
+    (their R rows are generally nonzero)."""
+    Q, R = jnp.linalg.qr(right_m.T)            # [cols, k] @ [k, k]
+    iso = jnp.where(mask[:, None], Q.T, 0.0)
+    return left_m @ R.T, iso
+
+
+def _polish_iso_left(left_m, right_m, mask):
+    """Mirror of _polish_iso_right for a sinv-built LEFT isometric factor:
+    left_m = Q R, keep Q (rank-window masked) as the isometry, absorb R into
+    the sigma-carrying right factor."""
+    Q, R = jnp.linalg.qr(left_m)               # [rows, k] @ [k, k]
+    iso = jnp.where(mask[None, :], Q, 0.0)
+    return iso, R @ right_m
+
+
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method"))
 def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                method: str = "gram"):
@@ -440,7 +471,21 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
         else:
             left_m, right_m = Um * svm[None, :], Vm
     elif method == "gram":
-        if rows <= cols:
+        # Gram side selection is ISO-AWARE (round-4 root cause of the fixed-
+        # regime collapse, docs/DESIGN.md "Pseudo-isometry compounding"): when
+        # the gram side is not the iso side, the isometric factor used to be
+        # reconstructed as sinv·(U^T M) — a division by sigma that amplifies
+        # matmul rounding by sigma_max/sigma_i.  Those pseudo-isometries get
+        # absorbed into the wings and COMPOUND multiplicatively over the
+        # ~780-bond half-sweep (measured: per-bond cost jumps of 2.8e3 at
+        # precision=high, .bench/quality_fixn_high_r3.log).  Square (plain)
+        # bonds now put the gram on the iso side outright — exact eigh
+        # orthonormality at zero extra cost; rectangular (label) bonds that
+        # must gram the small side repolish the sinv factor with a QR whose
+        # triangular factor is absorbed into the sigma-carrying core (product
+        # unchanged, isometry exact).
+        use_rows = (rows < cols) or (rows == cols and iso_left)
+        if use_rows:
             G = (M @ M.T).astype(jnp.float32)
             lam_, U = jnp.linalg.eigh(G)                  # ascending
             sv = jnp.sqrt(jnp.maximum(lam_[::-1], 0.0))
@@ -454,6 +499,7 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                 sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
                 left_m = Um * (sv * mask)[None, :]
                 right_m = sinv[:, None] * UtM
+                left_m, right_m = _polish_iso_right(left_m, right_m, mask)
         else:
             G = (M.T @ M).astype(jnp.float32)
             lam_, V = jnp.linalg.eigh(G)
@@ -466,6 +512,7 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                 sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
                 left_m = MV * sinv[None, :]
                 right_m = (sv * mask)[:, None] * Vm.T
+                left_m, right_m = _polish_iso_left(left_m, right_m, mask)
             else:
                 left_m, right_m = MV, Vm.T
     elif method == "ritz":
@@ -485,7 +532,8 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
         k0 = min(rows, cols)
         # static rank target: engine pads maxm to `pad`, so pad is the live cap
         q = min(pad + 16, k0)
-        small_rows = rows <= cols
+        # iso-aware side selection + QR polish: same rationale as 'gram'
+        small_rows = (rows < cols) or (rows == cols and iso_left)
         G = ((M @ M.T) if small_rows else (M.T @ M)).astype(jnp.float32)
         total = jnp.trace(G)
         if q >= k0:                                   # tiny problem: plain eigh
@@ -514,12 +562,14 @@ def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                 sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
                 left_m = Vm * (sv * mask)[None, :]
                 right_m = sinv[:, None] * UtM
+                left_m, right_m = _polish_iso_right(left_m, right_m, mask)
         else:
             MV = M @ Vm                               # = U·s, exact
             if iso_left:
                 sinv = jnp.where(sv > 0, 1.0 / jnp.maximum(sv, 1e-30), 0.0) * mask
                 left_m = MV * sinv[None, :]
                 right_m = (sv * mask)[:, None] * Vm.T
+                left_m, right_m = _polish_iso_left(left_m, right_m, mask)
             else:
                 left_m, right_m = MV, Vm.T
     else:
