@@ -82,3 +82,63 @@ def mm_only(e, s):
                      precision=P.DEFAULT)
     return out.sum(axis=2), s
 chain("matmul only [B*NL,120]@[120,240], reduce s", mm_only)
+
+
+# ---- round-4 variants: keep the [B,NL,D,M] outer-product intermediate out of
+# HBM by expressing the extend as TWO clean matmuls with the per-image phi
+# weights applied in the dots' elementwise epilogue (XLA output fusion).
+C0 = core[:, 0, :]            # [a_in(r) x a_out] after transpose below
+C1 = core[:, 1, :]
+
+
+def mk_split_s(carry_dt, div=True, opdt=None):
+    # out[b,k,a] = x0[b]*(e[b,k,:]@core[:,0_s,a_contract...]) — contraction is
+    # over r (the core's RIGHT bond for a right wing): core[a,s,r] -> Cs.T [r,a]
+    Cs0 = core[:, 0, :].T.copy()
+    Cs1 = core[:, 1, :].T.copy()
+
+    def step(e, s):
+        ef = e.reshape(B * NL, M)
+        if opdt is not None:
+            ef = ef.astype(opdt)
+        o0 = (ef @ (Cs0.astype(ef.dtype))).reshape(B, NL, M)
+        o1 = (ef @ (Cs1.astype(ef.dtype))).reshape(B, NL, M)
+        out = x[0][:, None, None] * o0 + x[1][:, None, None] * o1
+        if div:
+            mx = jnp.max(jnp.abs(out), axis=(1, 2))
+            safe = jnp.where(mx > 0, mx, 1.0)
+            out = out / safe[:, None, None]
+            s = s + jnp.log(safe)
+        return out.astype(carry_dt), s
+    return step
+
+
+chain("split-s 2xMM epilogue, f32 carry, div", mk_split_s(jnp.float32))
+chain("split-s 2xMM epilogue, f32 carry, NO div", mk_split_s(jnp.float32, div=False))
+chain("split-s 2xMM epilogue, bf16 carry, div", mk_split_s(jnp.bfloat16),
+      env0.astype(jnp.bfloat16))
+chain("split-s 2xMM epilogue, bf16 carry, NO div",
+      mk_split_s(jnp.bfloat16, div=False), env0.astype(jnp.bfloat16))
+chain("split-s 2xMM bf16 OPERANDS, f32 carry, div",
+      mk_split_s(jnp.float32, opdt=jnp.bfloat16))
+
+
+def mk_wide(carry_dt, div=True):
+    # one wide dot [B*NL, M] @ [M, 2M], epilogue strided weighted-reduce over s
+    Cw = jnp.concatenate([core[:, 0, :].T, core[:, 1, :].T], axis=1).copy()
+
+    def step(e, s):
+        o = (e.reshape(B * NL, M) @ Cw.astype(e.dtype)).reshape(B, NL, 2, M)
+        out = x[0][:, None, None] * o[:, :, 0] + x[1][:, None, None] * o[:, :, 1]
+        if div:
+            mx = jnp.max(jnp.abs(out), axis=(1, 2))
+            safe = jnp.where(mx > 0, mx, 1.0)
+            out = out / safe[:, None, None]
+            s = s + jnp.log(safe)
+        return out.astype(carry_dt), s
+    return step
+
+
+chain("wide-MM [BNL,M]@[M,2M] epilogue, f32, div", mk_wide(jnp.float32))
+chain("wide-MM epilogue, bf16 carry, NO div", mk_wide(jnp.bfloat16, div=False),
+      env0.astype(jnp.bfloat16))

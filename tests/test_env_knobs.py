@@ -1,0 +1,93 @@
+"""Numerics env-var knobs: blocked-vs-resident equivalence under each setting.
+
+TNML_REBUILD_CARRY / TNML_REBUILD_NONORM (train/segment_blocked.py) and
+TNML_WING_BARRIER (train/bond.py) are read ONCE at import and traced in
+statically, so each setting is exercised in a fresh subprocess (verdict r3
+item 7: an import-time-cached flag that silently changes numerics deserves a
+blocked-vs-resident equivalence test under each setting).  The subprocess
+reuses test_fused_blocked's pair/compare machinery and exits nonzero on any
+numerics mismatch.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+
+import tests.conftest  # noqa: F401
+
+from tnml_tpu.train.segment_blocked import rebuild_fast
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import tests.conftest  # noqa: F401  (forces CPU + 8 virtual devices)
+import jax.numpy as jnp
+from tnml_tpu.train.schedule import Sweeps
+from tests.test_fused_blocked import _pair, _compare
+
+mode = {mode!r}
+kw = dict(lam=1e-4, npass=3)
+if mode == "bf16":
+    kw["env_dtype"] = jnp.bfloat16
+    # bf16 carry adds one rounding per crossed site on top of the boundary
+    # quantization test_blocked_bf16_wings already tolerates; late-sweep
+    # small costs diverge relatively (measured max rel 0.16 on this config).
+    # The test guards against BROKEN numerics (explosion/garbage), not parity.
+    tol = dict(rtol=3e-1, atol=1e-2, out_rtol=2e-1, out_atol=2e-2,
+               rank_agree=0.8)
+else:
+    # f32 knobs reorder fp work but are mathematically identical; measured
+    # max rel drift ~5e-3 on small late-sweep costs for the nonorm rescale,
+    # with off-by-one cutoff-threshold rank ties flipping on that drift
+    # (measured 0.84 agreement, every disagreement within +-1)
+    tol = dict(rtol=1e-2, atol=5e-4, out_rtol=1e-2, out_atol=5e-4,
+               rank_agree=0.8)
+a, b, X = _pair(n=12, batch=14, c=5, seed=3, K=2, **kw)
+_compare(a, b, Sweeps.constant(2, 2, 10, 1e-10), X, **tol)
+print("knob-equivalence ok:", mode)
+"""
+
+
+def _run(mode: str, env_extra: dict) -> None:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # conftest re-adds the 8-device flag
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = _REPO
+    env.update(env_extra)
+    r = subprocess.run([sys.executable, "-c", _RUNNER.format(mode=mode)],
+                       cwd=_REPO, env=env, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, (
+        f"knob run {env_extra} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
+def test_knob_rebuild_carry_bf16():
+    # bf16 wing storage is the only regime where the carry knob changes
+    # anything (with f32 wings out_dtype/carry stay f32 by construction)
+    _run("bf16", {"TNML_REBUILD_CARRY": "bf16"})
+
+
+def test_knob_rebuild_nonorm():
+    # skipping per-extend max/div is mathematically a pure rescale; f32
+    # trajectories must stay within the default (tight) tolerances
+    _run("f32", {"TNML_REBUILD_NONORM": "1"})
+
+
+def test_knob_rebuild_carry_and_nonorm():
+    _run("bf16", {"TNML_REBUILD_CARRY": "bf16", "TNML_REBUILD_NONORM": "1"})
+
+
+def test_knob_wing_barrier_off():
+    # the barrier is an XLA scheduling hint only — bitwise-identical math
+    _run("f32", {"TNML_WING_BARRIER": "0"})
+
+
+def test_rebuild_fast_gating():
+    # advisor r3 (medium): fast rebuilds only when wings are STORED in bf16;
+    # f32-stored wings keep the engine's configured precision
+    assert rebuild_fast(None) is False
+    assert rebuild_fast(jnp.float32) is False
+    assert rebuild_fast(jnp.bfloat16) is True
+    assert rebuild_fast(jnp.dtype("bfloat16")) is True

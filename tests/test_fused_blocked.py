@@ -73,6 +73,33 @@ def test_blocked_bf16_wings():
              rank_agree=0.9)
 
 
+def test_blocked_sharded_matches_resident_sharded():
+    """dp-sharded blocked engine == dp-sharded resident engine (verdict r3
+    item 6: the blocked variant must run under a mesh, not only single-chip).
+
+    Both engines are compared UNDER THE SAME SHARDING: sharded-vs-unsharded is
+    not a valid tight comparison on this problem — the psum's different fp
+    reduction order perturbs the near-degenerate center-bond eigensplit enough
+    to fork truncation choices (measured: resident and blocked both diverge
+    from their unsharded runs by the IDENTICAL 0.60 max-relative trajectory
+    fork, i.e. the fork is the reduction order, not the engine)."""
+    import jax
+
+    from tnml_tpu.parallel.mesh import DataParallel, make_mesh
+
+    ndev = min(4, len(jax.devices()))
+    dp = DataParallel(make_mesh(ndev))
+    W, X, labels = make_problem(n=12, batch=16, label_site=5, seed=7)
+    X = X / np.linalg.norm(X, axis=2, keepdims=True)
+    pad = max(16, W.max_bond())
+    kw = dict(label_mode="fixed", lam=1e-4, npass=3)
+    a = SweepEngine(pack(W, pad=pad), X, labels, sharding=dp,
+                    fused_variant="resident", **kw)
+    b = SweepEngine(pack(W, pad=pad), X, labels, sharding=dp,
+                    fused_variant="blocked", blocked_K=2, **kw)
+    _compare(a, b, Sweeps.constant(2, 2, 10, 1e-10), X)
+
+
 def test_blocked_learns_and_writes_back():
     W, X, labels = make_problem(n=10, batch=30, label_site=4, seed=6)
     X = X / np.linalg.norm(X, axis=2, keepdims=True)

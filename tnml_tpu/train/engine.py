@@ -1019,6 +1019,14 @@ class SweepEngine:
 
         self._sync_fused()
         c, n = self.label_site, self.n
+        # run_fused guards this via _fused_supported; assert here too so a
+        # direct _run_fused_blocked call on a degenerate layout fails loudly
+        # instead of IndexError-ing on empty block lists later (advisor r3)
+        if not 2 <= c <= n - 3:
+            raise ValueError(
+                f"blocked fixed-label engine needs an interior label site "
+                f"(2 <= c <= N-3); got c={c}, N={n} — use the per-bond engine "
+                "(run) for edge label sites")
         K = self.blocked_K or self._pick_block(max(c - 1, n - 2 - c))
         blocksA = segb.partition_bonds(0, c - 1, self._pick_block(c - 1, K))
         blocksB = segb.partition_bonds(c + 1, n - 1,

@@ -48,6 +48,18 @@ from tnml_tpu.train.env import env_extend
 from tnml_tpu.train.segment_fixed import plain_bond_body
 
 
+def rebuild_fast(env_dtype) -> bool:
+    """Whether rebuild chains may run at DEFAULT matmul precision (single-pass
+    bf16 operands).  Only when the wings are STORED in bfloat16 — then the
+    6-pass 'highest' rebuild work is discarded by the storage rounding anyway
+    (67% of the fixed full-set sweep, .bench/PROFILE_r3.md).  With f32 wing
+    storage (env_dtype=None) the rebuilds keep the engine's configured
+    precision: the blocked engine is auto-selected purely on buffer size, and
+    an f32 run must match the resident engine bit-for-bit in spirit (advisor
+    r3, medium)."""
+    return env_dtype is not None and jnp.dtype(env_dtype) == jnp.dtype(jnp.bfloat16)
+
+
 def partition_bonds(lo: int, hi: int, K: int):
     """Bonds lo..hi-1 split into [(t0, T)] blocks of at most K."""
     out = []
@@ -104,6 +116,7 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
     stats rows in bond order t0..t0+T-1.
     """
     dt = env_dtype or jnp.float32
+    fast = rebuild_fast(env_dtype)
     nb = b_arr.shape[0]
     pad = cores_st.shape[1]
     lab_shape = (nb, b_arr.shape[1], pad) if b_arr.ndim == 3 else (nb, pad)
@@ -119,10 +132,10 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             site = t0 + T + 1 - k       # row T-1-k covers sites t0+T+1-k ..
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
-            # fast: rebuilt rows quantize to env_dtype on storage anyway, and
-            # rebuild chains are <= K sites from a quantized boundary — 6-pass
-            # 'highest' work here was 67% of the fixed full-set sweep
-            a, s = env_extend(a, s, x, core, fromleft=False, fast=True,
+            # fast (bf16-stored wings only, see rebuild_fast): rebuilt rows
+            # quantize to env_dtype on storage anyway, and rebuild chains are
+            # <= K sites from a quantized boundary
+            a, s = env_extend(a, s, x, core, fromleft=False, fast=fast,
                               out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
                               normalize=not _REBUILD_NONORM)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), T - 1 - k, 0)
@@ -137,7 +150,7 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             site = t0 + k - 1           # row k covers sites 0 .. t0+k-1
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
-            a, s = env_extend(a, s, x, core, fromleft=True, fast=True,
+            a, s = env_extend(a, s, x, core, fromleft=True, fast=fast,
                               out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
                               normalize=not _REBUILD_NONORM)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), k, 0)
