@@ -116,20 +116,37 @@ def env_extend(env: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
     """
     prec = jax.lax.Precision.DEFAULT if fast else None
     env = unsqueeze_env(env)
-    x = x.T
+    nb, K = env.shape[0], env.shape[1]
+    d = x.shape[0]
+    # Contraction written as d clean [B*K, m] @ [m, m_out] matmuls with the
+    # per-image phi weights applied in the dots' elementwise epilogue.  The
+    # einsum form ("bkr,bs,asr->bka") makes XLA materialize the [B, K, d, m]
+    # outer-product intermediate in HBM — measured 13.1 ms/extend at full-set
+    # labelled shapes vs 2.3 ms (f32) / 1.0 ms (bf16 wings) for this form, a
+    # 6-13x HBM-traffic cut on the blocked engine's dominant op
+    # (.bench/extend_micro.py, .bench/r4_quality_chain.log).
     if core.ndim == 3:
-        if fromleft:
-            out = jnp.einsum("bka,bs,asr->bkr", env, x, core, precision=prec)
-        else:
-            out = jnp.einsum("bkr,bs,asr->bka", env, x, core, precision=prec)
+        mats = [core[:, s, :] if fromleft else core[:, s, :].T
+                for s in range(d)]                      # [m_in, m_out]
     else:
-        if env.shape[1] != 1:
+        if K != 1:
             raise ValueError("wing already carries a label axis")
+        L = core.shape[3]
         if fromleft:
-            out = jnp.einsum("bka,bs,asrl->bklr", env, x, core, precision=prec)
+            # out[b, (l), r]: env[b, a] @ core[a, s, :, l] with l MAJOR in cols
+            mats = [core[:, s, :, :].transpose(0, 2, 1).reshape(core.shape[0], -1)
+                    for s in range(d)]                  # [a, L*r]
         else:
-            out = jnp.einsum("bkr,bs,asrl->bkla", env, x, core, precision=prec)
-        out = out.reshape(out.shape[0], -1, out.shape[-1])
+            # out[b, (l), a]: env[b, r] @ core[:, s, r, l] with l MAJOR in cols
+            mats = [core[:, s, :, :].transpose(1, 2, 0).reshape(core.shape[2], -1)
+                    for s in range(d)]                  # [r, L*a]
+    ef = env.reshape(nb * K, -1).astype(jnp.float32)
+    acc = None
+    for s in range(d):
+        term = jnp.matmul(ef, mats[s], precision=prec).reshape(nb, K, -1)
+        term = term * x[s][:, None, None]
+        acc = term if acc is None else acc + term
+    out = acc if core.ndim == 3 else acc.reshape(nb, L, -1)
     if normalize:
         # per-image max-normalization, scale tracked in sigma.  Skippable
         # (normalize=False) over short chains of near-isometric cores — the

@@ -36,7 +36,11 @@ def configure_matmul_precision(mode: str | None = None) -> str:
     mode = os.environ.get("TNML_MATMUL_PRECISION") or mode or "highest"
     if _configured[0] == mode:
         return mode
-    if mode != "default":
-        jax.config.update("jax_default_matmul_precision", mode)
+    # "default" must be SET explicitly too: another component (e.g. an
+    # evaluator constructed first) may already have configured "highest" in
+    # this process, and skipping the update would silently leave it in force
+    # (round 4: a precision=default quality run reproduced the highest
+    # trajectory bit-for-bit until this was fixed)
+    jax.config.update("jax_default_matmul_precision", mode)
     _configured[0] = mode
     return mode
