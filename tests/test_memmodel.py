@@ -81,16 +81,22 @@ def test_budget_derived_from_device(monkeypatch):
             return {"bytes_limit": 95 * 2**30}   # v5p-class
 
     assert memmodel.fused_budget_bytes(device=_FakeTpu()) == \
-        pytest.approx(0.85 * 16 * 2**30)
+        pytest.approx(memmodel._HEADROOM * 16 * 2**30)
     assert memmodel.fused_budget_bytes(device=Big()) == \
-        pytest.approx(0.85 * 95 * 2**30)
+        pytest.approx(memmodel._HEADROOM * 95 * 2**30)
+    # the blocked fallback allowance keeps the larger share (no transient
+    # double of the labelled stack applies to the blocked residency)
+    assert memmodel.blocked_budget_bytes(device=_FakeTpu()) == \
+        pytest.approx(memmodel._HEADROOM_BLOCKED * 16 * 2**30)
+    assert memmodel.blocked_budget_bytes(device=_FakeTpu()) > \
+        memmodel.fused_budget_bytes(device=_FakeTpu())
 
     class NoStats(_FakeTpu):
         def memory_stats(self):
             raise NotImplementedError
 
     assert memmodel.fused_budget_bytes(device=NoStats()) == \
-        memmodel._FALLBACK_BUDGET
+        pytest.approx(memmodel._HEADROOM * memmodel._FALLBACK_LIMIT)
 
 
 def test_shard_count_and_per_chip():

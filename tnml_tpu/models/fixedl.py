@@ -191,7 +191,7 @@ class FixedLModel:
             # (SURVEY.md §7 "Dynamic bond dimensions vs XLA static shapes")
             pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
         pad = max(pad, self.w.max_bond())
-        return SweepEngine(pack(self.w, pad), X, labels,
+        eng = SweepEngine(pack(self.w, pad), X, labels,
                            lam=cfg.lam, alpha=cfg.alpha,
                            npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, report_cost=cfg.report_cost,
@@ -201,6 +201,10 @@ class FixedLModel:
                            svd_method=cfg.svd_method, precision=cfg.precision,
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
+        # the adaptive pad will regrow to cfg.maxm; variant choices size at the
+        # final pad so the engine's auto routing agrees with _use_fused
+        eng.sizing_pad = max(pad, cfg.maxm or pad)
+        return eng
 
     def _use_fused(self, eng, cfg: FixedLConfig, verbose=False) -> bool:
         """Scan-fused sweeps whenever the method allows it.  The fixed-label
@@ -221,7 +225,12 @@ class FixedLModel:
         c, n = eng.label_site, eng.n
         itemsize = 2 if cfg.env_dtype in ("bf16", "bfloat16") else 4
         chips = memmodel.shard_count(eng.sharding)
-        sz = memmodel.fixed_layout_bytes(-(-eng.nt // chips), eng.pad,
+        # size at the run's FINAL pad (cfg.maxm), not the adaptive current pad:
+        # a ramped run that will end blocked should start blocked instead of
+        # burning resident compiles it must abandon (and the resident pick at a
+        # small pad can OOM anyway — the transient-double, memmodel docstring)
+        size_pad = max(eng.pad, cfg.maxm or eng.pad)
+        sz = memmodel.fixed_layout_bytes(-(-eng.nt // chips), size_pad,
                                          eng.model.n_labels or 10, c, n,
                                          itemsize)
         limit = memmodel.fused_budget_bytes()
@@ -231,7 +240,7 @@ class FixedLModel:
             K = eng.blocked_K or eng._pick_block(sz["rows"])
             need_blocked = memmodel.blocked_layout_bytes(sz["rows"],
                                                          sz["row_bytes"], K)
-            if need_blocked < limit:
+            if need_blocked < memmodel.blocked_budget_bytes():
                 if verbose:
                     print(f"[fused] labeled wing stack would need "
                           f"{sz['labelled'] / 1e9:.1f} GB/chip; using the "

@@ -979,7 +979,8 @@ class SweepEngine:
         if not on_tpu:
             return "resident"   # test backends: no 16 GB HBM ceiling
         itemsize = jnp.dtype(self.env_dtype or self.dtype).itemsize
-        total = memmodel.per_chip_total(self.nt, self.pad,
+        size_pad = max(self.pad, getattr(self, "sizing_pad", 0) or 0)
+        total = memmodel.per_chip_total(self.nt, size_pad,
                                         self.model.n_labels or 10,
                                         self.label_site, self.n, itemsize,
                                         self.sharding)

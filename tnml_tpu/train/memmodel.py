@@ -17,9 +17,19 @@ inconsistent copies (10 GB labelled-only vs hardcoded 13 GB total); this
 module is now the only sizing + budget code they call.
 
 Budget: ``TNML_FUSED_FIXED_MAX_BYTES`` (bytes) overrides everything; otherwise
-the detected device's ``memory_stats()['bytes_limit']`` with a 0.85 headroom
-factor (features + cores + CG working set ride alongside the wings); fallback
-13 GiB, the empirically safe share of a 16 GB v5e chip.
+the detected device's ``memory_stats()['bytes_limit']`` scaled by a headroom
+factor; fallback assumes a 16 GB v5e chip.
+
+RESIDENT headroom is 0.52, calibrated against three measured points on a
+15.75 GiB-limit v5e (round 4): B=7,400/pad=120 resident runs (wings 7.6 GB);
+B=10,000/pad=120 resident OOMs (wings 10.2 GB, STATUS round-2 capacity
+probe); B=58,862/pad=20 resident OOMs with a 20.7 GB program for 9.4 GB of
+sized wings (.bench/quality_fullset_fixed_r4_oom.log) — XLA holds a second
+transient copy of the labelled stack (remat compress/uncompress + ping-pong
+donation), so the usable wing share is ~half the chip, not 0.85 of it.  The
+BLOCKED-vs-per-bond fallback keeps the 0.85 factor: the blocked engine's
+residency (block boundaries + in-jit rebuild rows) has no such transient
+double and is proven at the full 58,862-image set.
 """
 
 from __future__ import annotations
@@ -27,8 +37,9 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-_FALLBACK_BUDGET = 13.0 * 2**30   # safe share of a 16 GB chip (v5e)
-_HEADROOM = 0.85
+_FALLBACK_LIMIT = 15.75 * 2**30   # detected bytes_limit of a 16 GB v5e
+_HEADROOM = 0.52                  # resident wings (see module docstring)
+_HEADROOM_BLOCKED = 0.85          # blocked residency (no transient double)
 
 
 def fixed_layout_bytes(nt: int, pad: int, nl: int, c: int, n: int,
@@ -51,8 +62,21 @@ def blocked_layout_bytes(rows: int, row_bytes: int, K: int) -> int:
     return (-(-rows // K) + 2 * K + 6) * row_bytes
 
 
+def _device_limit(device=None) -> float:
+    try:
+        import jax
+        dev = device if device is not None else jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return float(limit)
+    except Exception:
+        pass
+    return _FALLBACK_LIMIT
+
+
 def fused_budget_bytes(device=None) -> float:
-    """HBM budget for the fused wing buffers, in bytes.
+    """HBM budget for the RESIDENT fused wing buffers, in bytes.
 
     ``TNML_FUSED_FIXED_MAX_BYTES`` overrides (the single knob).  Otherwise
     derive from the detected device's ``memory_stats()`` so v4/v5p/v6e chips
@@ -62,16 +86,16 @@ def fused_budget_bytes(device=None) -> float:
     env = os.environ.get("TNML_FUSED_FIXED_MAX_BYTES")
     if env:
         return float(env)
-    try:
-        import jax
-        dev = device if device is not None else jax.devices()[0]
-        stats = dev.memory_stats() or {}
-        limit = stats.get("bytes_limit")
-        if limit:
-            return _HEADROOM * float(limit)
-    except Exception:
-        pass
-    return _FALLBACK_BUDGET
+    return _HEADROOM * _device_limit(device)
+
+
+def blocked_budget_bytes(device=None) -> float:
+    """HBM allowance for the BLOCKED engine's residency (the blocked-vs-
+    per-bond fallback decision) — no transient-double penalty applies."""
+    env = os.environ.get("TNML_FUSED_FIXED_MAX_BYTES")
+    if env:
+        return float(env)
+    return _HEADROOM_BLOCKED * _device_limit(device)
 
 
 def shard_count(sharding) -> int:
