@@ -54,8 +54,9 @@ eng.run_fused(sweeps1, verbose=False)
 print(f"warm sweep: {time.time() - t0:.1f}s", file=sys.stderr)
 
 suffix = "" if label_mode == "moving" else f"_{label_mode}"
+tag = os.environ.get("TNML_PROFILE_TAG", "r3")
 outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      f"profile_r3{suffix}")
+                      f"profile_{tag}{suffix}")
 t0 = time.time()
 with jax.profiler.trace(outdir):
     eng.run_fused(sweeps1, verbose=False)
@@ -76,7 +77,7 @@ for entry in tab:
         v = [c.get("v") for c in r["c"]]
         rows.append(dict(zip(cols, v)))
 out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   f"profile_r3{suffix}_ops.json")
+                   f"profile_{tag}{suffix}_ops.json")
 with open(out, "w") as f:
     json.dump({"sweep_s": secs, "B": B, "svd_method": svd_method,
                "label_mode": label_mode, "precision": precision,

@@ -38,10 +38,12 @@ TNML_BENCH_SWEEPS (2), TNML_BENCH_ENV_DTYPE (bf16|f32), TNML_BENCH_LABEL_MODE
 (fixed|moving), TNML_BENCH_METHOD (fast_conj_exact|conj|fast_conj), TNML_BENCH_N
 (784 -> 28x28 images), TNML_BENCH_PRECISION (default|high|highest).
 
-Precision: the engine's correctness default is 'highest' (true f32 — required by
-the near-degenerate fixed-label regime, utils/precision.py); the moving-label
-headline runs 'default' (single-pass bf16 operands, f32 accumulation), the setting
-under which its full-set quality (87%+ test acc) was measured.  Explicit
+Precision: the engine's correctness default is 'highest' (true f32,
+utils/precision.py); since the round-4 iso-aware split fix, 'high' (bf16_3x) is
+quality-validated for the fixed regime too (100.00% anchor, docs/DESIGN.md) and
+1.14x faster.  The moving-label headline runs 'default' (single-pass bf16
+operands, f32 accumulation), the setting under which its full-set quality
+(87%+ test acc) was measured.  Explicit
 ``mxu_dtype=bf16`` measured 12x SLOWER than f32 at these shapes (bf16 tiling of the
 tiny-minor-dim wing products) — precision, not operand dtype, is the speed knob here.
 
