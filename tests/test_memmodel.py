@@ -110,3 +110,34 @@ def test_shard_count_and_per_chip():
         one = memmodel.per_chip_total(800, 16, 10, 4, 10, 2, None)
         split = memmodel.per_chip_total(800, 16, 10, 4, 10, 2, sh)
         assert split == pytest.approx(one / len(devs))
+
+
+def test_router_sizes_at_final_pad(monkeypatch):
+    """Round-4 OOM regression: a ramped run starting at a small adaptive pad
+    must size the variant choice at the FINAL pad (cfg.maxm) — the first
+    full-set recipe run picked the resident engine at pad=20 ('fits') and
+    OOMed with a 20.7 GB program (.bench/quality_fullset_fixed_r4_oom.log)."""
+    from tnml_tpu.models.fixedl import FixedLConfig, FixedLModel
+    from tnml_tpu.mps.pack import unpack
+
+    # big enough that the blocked residency (boundaries + rebuild rows) is
+    # clearly below the resident stacks — at toy scale its constant overhead
+    # (2K+6 working rows) dominates and the comparison is meaningless
+    W, X, labels = make_problem(n=100, batch=400, label_site=50, seed=3)
+    model = FixedLModel(unpack(pack(W, pad=8)))
+    cfg = FixedLConfig(nsweep=1, maxm=64, cutoff=1e-10, pad=None,
+                       method="fast_conj_exact", label_mode="fixed")
+    eng = model.make_engine(X, labels, cfg)
+    assert eng.pad < 64                       # adaptive start
+    assert eng.sizing_pad == 64               # but sized at the final pad
+
+    sz_final = memmodel.fixed_layout_bytes(400, 64, 10, 50, 100, 4)
+    sz_start = memmodel.fixed_layout_bytes(400, eng.pad, 10, 50, 100, 4)
+    # budget between start-pad and final-pad totals: the old current-pad
+    # sizing would pick resident and OOM once the pad regrows
+    budget = (sz_start["total"] + sz_final["total"]) / 2
+    assert sz_start["total"] < budget < sz_final["total"]
+    monkeypatch.setenv("TNML_FUSED_FIXED_MAX_BYTES", str(budget))
+    assert model._use_fused(eng, cfg) is True
+    assert eng.fused_variant == "blocked"
+    assert eng._fixed_variant() == "blocked"  # engine agrees via sizing_pad
