@@ -32,16 +32,32 @@ def _scan_plain(arr, sig, cores, xs):
     """Sweep a [B,K,m] wing through stacked label-free cores in ONE scan call.
 
     ``cores``: [k, m, d, m]; ``xs``: [k, d, B].  Same per-site math and log-scale
-    hygiene as env_extend(fromleft=True)."""
+    hygiene as env_extend(fromleft=True) — including its epilogue-fused matmul
+    form: the einsum "bka,bs,asr->bkr" makes XLA materialize the [B,K,d,m]
+    outer-product intermediate in HBM (the round-4 env_extend finding,
+    .bench/extend_micro.py); d clean [B·K, m] @ [m, m] dots with the per-image
+    φ weights in the elementwise epilogue measured 1.8x faster end-to-end on
+    the 10k-image eval at m=120 (2162 -> 1193 ms/call, 8,381 images/s;
+    .bench/eval_throughput.py, log in .bench/eval_throughput_r4.log)."""
 
     def body(state, inp):
         a, s = state
         core, x = inp
-        out = jnp.einsum("bka,bs,asr->bkr", a, x.T, core,
-                         preferred_element_type=jnp.float32)
-        mx = jnp.max(jnp.abs(out), axis=(1, 2))
-        safe = jnp.where(mx > 0, mx, 1.0)
-        return (out / safe[:, None, None], s + jnp.log(safe)), None
+        nb, K = a.shape[0], a.shape[1]
+        d = core.shape[1]
+        ef = a.reshape(nb * K, -1)
+        acc = None
+        for si in range(d):
+            term = jnp.matmul(ef, core[:, si, :],
+                              preferred_element_type=jnp.float32)
+            term = term.reshape(nb, K, -1) * x[si][:, None, None]
+            acc = term if acc is None else acc + term
+        mx = jnp.max(jnp.abs(acc), axis=(1, 2))
+        safe = jnp.where(mx > 0, mx, 1.0).astype(jnp.float32)
+        # carry storage dtype = the Evaluator's dtype (bf16 halves the wing
+        # traffic for serving; accumulation above stays f32 either way)
+        out = (acc / safe[:, None, None]).astype(a.dtype)
+        return (out, s + jnp.log(safe)), None
 
     (arr, sig), _ = lax.scan(body, (arr, sig), (cores, xs))
     return arr, sig
@@ -53,14 +69,23 @@ def _contract_labeled(pre, wlab, post, xs_pre, x_lab, xs_post, edge_arr, edge_si
     segments around the label core.  One device call for the whole test set."""
     from tnml_tpu.train.env import unsqueeze_env
     arr, sig = _scan_plain(unsqueeze_env(edge_arr), edge_sig, pre, xs_pre)
-    out = jnp.einsum("bka,bs,asrl->bklr", arr, x_lab.T, wlab,
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(out.shape[0], -1, out.shape[-1])
-    mx = jnp.max(jnp.abs(out), axis=(1, 2))
-    safe = jnp.where(mx > 0, mx, 1.0)
-    arr, sig = out / safe[:, None, None], sig + jnp.log(safe)
+    # label core [a,d,r,L]: same fused form, l MAJOR in the dot's columns so the
+    # reshape lands [B, K*L, r] (K == 1 here: the edge wing carries no label)
+    nb, K = arr.shape[0], arr.shape[1]
+    d, L = wlab.shape[1], wlab.shape[3]
+    ef = arr.reshape(nb * K, -1)
+    acc = None
+    for si in range(d):
+        mat = wlab[:, si, :, :].transpose(0, 2, 1).reshape(wlab.shape[0], -1)
+        term = jnp.matmul(ef, mat, preferred_element_type=jnp.float32)
+        term = term.reshape(nb, K * L, -1) * x_lab[si][:, None, None]
+        acc = term if acc is None else acc + term
+    mx = jnp.max(jnp.abs(acc), axis=(1, 2))
+    safe = jnp.where(mx > 0, mx, 1.0).astype(jnp.float32)
+    arr = (acc / safe[:, None, None]).astype(arr.dtype)
+    sig = sig + jnp.log(safe)
     arr, sig = _scan_plain(arr, sig, post, xs_post)
-    return arr[:, :, 0], sig
+    return arr[:, :, 0].astype(jnp.float32), sig
 
 
 def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
