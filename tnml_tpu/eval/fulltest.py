@@ -65,27 +65,29 @@ def _scan_plain(arr, sig, cores, xs):
 
 @jax.jit
 def _contract_labeled(pre, wlab, post, xs_pre, x_lab, xs_post, edge_arr, edge_sig):
-    """Full left-to-right contraction of a labeled MPS against a batch: two scan
-    segments around the label core.  One device call for the whole test set."""
+    """Two-sided contraction of a labeled MPS against a batch — the reference's
+    own toverlap order (util.h:19-40: site N down to cent, then 1 up to cent).
+    Both wings stay label-FREE [B, 1, m]; the nl-dim label axis appears only in
+    the single bilinear at the label core.  A left-to-right pass instead drags a
+    [B, nl, m] wing through every post-label site — 10x the HBM traffic on half
+    the chain; going two-sided measured 5.9x end-to-end on the 10k-image eval
+    (1193 -> 203 ms/call, .bench/eval_throughput_r4.log)."""
     from tnml_tpu.train.env import unsqueeze_env
-    arr, sig = _scan_plain(unsqueeze_env(edge_arr), edge_sig, pre, xs_pre)
-    # label core [a,d,r,L]: same fused form, l MAJOR in the dot's columns so the
-    # reshape lands [B, K*L, r] (K == 1 here: the edge wing carries no label)
-    nb, K = arr.shape[0], arr.shape[1]
-    d, L = wlab.shape[1], wlab.shape[3]
-    ef = arr.reshape(nb * K, -1)
+    arrL, sigL = _scan_plain(unsqueeze_env(edge_arr), edge_sig, pre, xs_pre)
+    # right wing: same scan body on reversed, index-transposed cores
+    arrR, sigR = _scan_plain(unsqueeze_env(edge_arr), jnp.zeros_like(edge_sig),
+                             jnp.flip(post, axis=0).transpose(0, 3, 2, 1),
+                             jnp.flip(xs_post, axis=0))
+    aL, aR = arrL[:, 0, :], arrR[:, 0, :]
+    m, d, L = wlab.shape[0], wlab.shape[1], wlab.shape[3]
     acc = None
     for si in range(d):
-        mat = wlab[:, si, :, :].transpose(0, 2, 1).reshape(wlab.shape[0], -1)
-        term = jnp.matmul(ef, mat, preferred_element_type=jnp.float32)
-        term = term.reshape(nb, K * L, -1) * x_lab[si][:, None, None]
+        term = jnp.matmul(aL, wlab[:, si, :, :].reshape(m, -1),
+                          preferred_element_type=jnp.float32)
+        term = term.reshape(aL.shape[0], -1, L) * x_lab[si][:, None, None]
         acc = term if acc is None else acc + term
-    mx = jnp.max(jnp.abs(acc), axis=(1, 2))
-    safe = jnp.where(mx > 0, mx, 1.0).astype(jnp.float32)
-    arr = (acc / safe[:, None, None]).astype(arr.dtype)
-    sig = sig + jnp.log(safe)
-    arr, sig = _scan_plain(arr, sig, post, xs_post)
-    return arr[:, :, 0].astype(jnp.float32), sig
+    P = jnp.sum(acc * aR.astype(jnp.float32)[:, :, None], axis=1)
+    return P, sigL + sigR
 
 
 def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
