@@ -33,10 +33,22 @@ setOneThread pins BLAS to 1 thread, so per-thread small-tensor contractions at
 ~3 GFLOP/s f64 is generous).  vs_baseline = est_ref_seconds / measured_seconds;
 > 1 means this framework is faster.
 
+**Both flagship layouts land in ONE parsed line** (round-5, VERDICT r4 item 1):
+after the moving-label headline, the same process measures the REFERENCE-FAITHFUL
+fixed-label flagship (label pinned to the central core, fixedL.cc:616 — the only
+layout the reference actually has; its moving-label helper is dormant code,
+util.h:202-244) on the sqrt-memory blocked engine, and merges
+``flagship_fixed_s_per_sweep`` / ``_tflops`` / ``_vs_baseline`` / ``_precision``
+into the final JSON.  The moving headline stays the ``value`` field.  Disable the
+extra stage with TNML_BENCH_FIXED=0; it is skipped automatically when
+TNML_BENCH_LABEL_MODE=fixed already makes the MAIN measurement the fixed layout.
+
 Env overrides: TNML_BENCH_B (60000), TNML_BENCH_MAXM (120), TNML_BENCH_NPASS (4),
 TNML_BENCH_SWEEPS (2), TNML_BENCH_ENV_DTYPE (bf16|f32), TNML_BENCH_LABEL_MODE
 (fixed|moving), TNML_BENCH_METHOD (fast_conj_exact|conj|fast_conj), TNML_BENCH_N
-(784 -> 28x28 images), TNML_BENCH_PRECISION (default|high|highest).
+(784 -> 28x28 images), TNML_BENCH_PRECISION (default|high|highest),
+TNML_BENCH_FIXED (1), TNML_BENCH_FIXED_PRECISION (high — the quality-validated
+fixed-regime default since round 4), TNML_BENCH_FIXED_SWEEPS (2).
 
 Precision: the engine's correctness default is 'highest' (true f32,
 utils/precision.py); since the round-4 iso-aware split fix, 'high' (bf16_3x) is
@@ -126,8 +138,11 @@ def main() -> int:
     env_dtype_s = os.environ.get("TNML_BENCH_ENV_DTYPE", "bf16")
     label_mode = os.environ.get("TNML_BENCH_LABEL_MODE", "moving")
     method = os.environ.get("TNML_BENCH_METHOD", "fast_conj_exact")
+    # fixed-regime precision default is 'high' since the round-4 iso-aware
+    # split fix quality-validated it at full scale (models/fixedl.py
+    # resolved_precision)
     precision = os.environ.get("TNML_BENCH_PRECISION",
-                               "default" if label_mode == "moving" else "highest")
+                               "default" if label_mode == "moving" else "high")
     n_sites = int(os.environ.get("TNML_BENCH_N", 784))
     size = int(round(n_sites ** 0.5))
 
@@ -166,43 +181,11 @@ def main() -> int:
           f"npass={npass}, env_dtype={env_dtype_s}, label_mode={label_mode}",
           file=sys.stderr)
 
-    # moving headline: ritz split (quality-identical to gram — both reach the
-    # same 86.25% best/cost trajectory on the 10-sweep tuned config,
-    # .bench/quality_mv_{gram,ritz}_r3.log — and 0.4 ms/bond faster);
-    # fixed flagship: gram (parity default, validated at 99.99%)
-    svd_method = os.environ.get("TNML_BENCH_SVD",
-                                "ritz" if label_mode == "moving" else "gram")
-    cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3, npass=npass,
-                       ninitial=10, pad=maxm, label_mode=label_mode, method=method,
-                       precision=precision, svd_method=svd_method)
-    _stage("cold start", float(os.environ.get("TNML_BENCH_COLD_BUDGET", 600)))
-    t0 = time.time()
-    w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
-    model = FixedLModel(w)
-    print(f"[bench] cold start: {time.time() - t0:.1f}s, "
-          f"init bond {w.max_bond()}", file=sys.stderr)
-
     try:
         env_dtype = {"bf16": jnp.bfloat16, "f32": None}[env_dtype_s]
     except KeyError:
         raise SystemExit(f"TNML_BENCH_ENV_DTYPE={env_dtype_s!r} not recognized "
                          "(bf16|f32)")
-    eng = model.make_engine(X, labels, cfg, pad=maxm)
-    eng.env_dtype = env_dtype
-
-    sweeps1 = Sweeps.constant(1, min(10, maxm), maxm, 1e-10)
-    # both layouts run scan-fused (segment.py / segment_fixed.py); the fixed
-    # layout's labelled wing stack is 10x wider, so beyond ~10-12k images on
-    # one chip run_fused auto-routes to the sqrt-memory blocked engine
-    # (segment_blocked.py) — the full 58,862-image set runs single-chip there
-    run = eng.run_fused
-    # warm compile: ~460 s on a cold persistent cache (BENCH_r02 tail)
-    _stage("warm sweep (compile)", float(os.environ.get(
-        "TNML_BENCH_COMPILE_BUDGET", 1200)))
-    t0 = time.time()
-    run(sweeps1, verbose=False)
-    warm = time.time() - t0
-    print(f"[bench] warm sweep (compile): {warm:.1f}s", file=sys.stderr)
 
     # analytic reference estimate (see module docstring)
     d, L, NT, N = 2, 10, X.shape[0], X.shape[1]
@@ -224,13 +207,19 @@ def main() -> int:
              "v6e": 918.0, "cpu": 10.0}
     peak = next((v for k, v in peaks.items() if k in kind), None)
 
-    def make_result(secs: float, n_measured: int):
+    def sweep_tflops(secs: float):
+        """Achieved logical FLOP/s; None (FAIL) when it exceeds the chip peak."""
         tflops = our_per_bond * 2 * (N - 1) / secs / 1e12
-        # falsifiability cap: sustained FLOP/s must not exceed the chip peak
         if peak is not None and tflops > peak:
             print(f"[bench] ERROR: computed {tflops:.1f} TF/s exceeds the "
                   f"{kind} bf16 peak {peak} TF/s — FLOP accounting is wrong",
                   file=sys.stderr)
+            return None
+        return tflops
+
+    def make_result(secs: float, n_measured: int):
+        tflops = sweep_tflops(secs)
+        if tflops is None:
             return None
         out = {
             "metric": f"fixedL sweep wall-clock (B={NT}, N={N}, maxm={maxm}, "
@@ -262,27 +251,108 @@ def main() -> int:
                 out["cpu_1core_bond_s"] = per_bond
         return out
 
-    times = []
+    sweeps1 = Sweeps.constant(1, min(10, maxm), maxm, 1e-10)
+    cold_budget = float(os.environ.get("TNML_BENCH_COLD_BUDGET", 600))
+    compile_budget = float(os.environ.get("TNML_BENCH_COMPILE_BUDGET", 1200))
     sweep_budget = float(os.environ.get("TNML_BENCH_SWEEP_BUDGET", 600))
-    for i in range(nsweeps):
-        _stage(f"measured sweep {i + 1}/{nsweeps}", sweep_budget)
+
+    def measure_mode(mode: str, prec: str, svd: str, n_measured: int,
+                     tag: str, on_sweep):
+        """Cold-start, compile, and measure one flagship layout; calls
+        ``on_sweep(times, hist, eng)`` after every measured sweep so a partial
+        result is always emitted before a potential watchdog breach."""
+        cfg = FixedLConfig(nsweep=1, maxm=maxm, cutoff=1e-10, lam=1e-3,
+                           npass=npass, ninitial=10, pad=maxm, label_mode=mode,
+                           method=method, precision=prec, svd_method=svd)
+        _stage(f"{tag}cold start", cold_budget)
         t0 = time.time()
-        hist = run(sweeps1, verbose=False)
-        times.append(time.time() - t0)
-        print(f"[bench] sweep {i + 2}: {times[-1]:.2f}s "
-              f"cost/NT={hist[-1].cost / eng.nt:.6f} "
-              f"correct={hist[-1].ncorrect}/{eng.nt} "
-              f"maxrank={int(eng.ranks.max())}", file=sys.stderr)
+        w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=False)
+        model = FixedLModel(w)
+        print(f"[bench] {tag}cold start: {time.time() - t0:.1f}s, "
+              f"init bond {w.max_bond()}", file=sys.stderr)
+        eng = model.make_engine(X, labels, cfg, pad=maxm)
+        eng.env_dtype = env_dtype
+        # both layouts run scan-fused (segment.py / segment_fixed.py); the
+        # fixed layout's labelled wing stack is 10x wider, so beyond ~10-12k
+        # images on one chip run_fused auto-routes to the sqrt-memory blocked
+        # engine (segment_blocked.py) — the full set runs single-chip there
+        run = eng.run_fused
+        # warm compile: ~460 s on a cold persistent cache (BENCH_r02 tail)
+        _stage(f"{tag}warm sweep (compile)", compile_budget)
+        t0 = time.time()
+        run(sweeps1, verbose=False)
+        print(f"[bench] {tag}warm sweep (compile): {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        times = []
+        for i in range(n_measured):
+            _stage(f"{tag}measured sweep {i + 1}/{n_measured}", sweep_budget)
+            t0 = time.time()
+            hist = run(sweeps1, verbose=False)
+            times.append(time.time() - t0)
+            print(f"[bench] {tag}sweep {i + 2}: {times[-1]:.2f}s "
+                  f"cost/NT={hist[-1].cost / eng.nt:.6f} "
+                  f"correct={hist[-1].ncorrect}/{eng.nt} "
+                  f"maxrank={int(eng.ranks.max())}", file=sys.stderr)
+            if on_sweep(times, hist, eng) is None:
+                return None
+        return times
+
+    def on_main_sweep(times, hist, eng):
         # one measured sweep = a real number; make it survivable immediately
         prov = make_result(float(np.mean(times)), len(times))
-        if prov is None:
-            return 1
-        _provisional(prov)
+        if prov is not None:
+            _provisional(prov)
+        return prov
 
-    _stage("final result emission", 120.0)
+    # moving headline: ritz split (quality-identical to gram — both reach the
+    # same 86.25% best/cost trajectory on the 10-sweep tuned config,
+    # .bench/quality_mv_{gram,ritz}_r3.log — and 0.4 ms/bond faster);
+    # fixed flagship: gram (parity default, validated at 100.00%)
+    times = measure_mode(label_mode, precision,
+                         svd=os.environ.get(
+                             "TNML_BENCH_SVD",
+                             "ritz" if label_mode == "moving" else "gram"),
+                         n_measured=nsweeps, tag="", on_sweep=on_main_sweep)
+    if times is None:
+        return 1
     out = make_result(float(np.mean(times)), len(times))
     if out is None:
         return 1
+
+    # ---- reference-faithful fixed-label flagship (VERDICT r4 item 1) -------
+    # the reference's ONLY layout pins the label to the central core
+    # (fixedL.cc:616); measure it in the same artifact so the apples-to-apples
+    # headline is driver-captured, not builder-log-only.
+    want_fixed = (os.environ.get("TNML_BENCH_FIXED", "1") == "1"
+                  and label_mode == "moving")
+    if want_fixed:
+        import gc
+        fixed_prec = os.environ.get("TNML_BENCH_FIXED_PRECISION", "high")
+        fixed_sweeps = int(os.environ.get("TNML_BENCH_FIXED_SWEEPS", 2))
+        gc.collect()   # drop the moving engine's ~11 GB wing stacks first
+
+        def on_fixed_sweep(times, hist, eng):
+            secs = float(np.mean(times))
+            tflops = sweep_tflops(secs)
+            out["flagship_fixed_s_per_sweep"] = round(secs, 3)
+            out["flagship_fixed_vs_baseline"] = round(ref_seconds / secs, 2)
+            out["flagship_fixed_tflops"] = (round(tflops, 1)
+                                            if tflops is not None else None)
+            out["flagship_fixed_precision"] = fixed_prec
+            out["flagship_fixed_n_sweeps"] = len(times)
+            _provisional(out)
+            return out
+
+        try:
+            measure_mode("fixed", fixed_prec, svd=os.environ.get(
+                "TNML_BENCH_FIXED_SVD", "gram"),
+                n_measured=fixed_sweeps, tag="flagship-fixed ",
+                on_sweep=on_fixed_sweep)
+        except Exception as e:   # the moving headline must survive any
+            out["flagship_fixed_error"] = f"{type(e).__name__}: {e}"
+            print(f"[bench] flagship-fixed stage failed: {e}", file=sys.stderr)
+
+    _stage("final result emission", 120.0)
     print(json.dumps(out), flush=True)
     return 0
 

@@ -97,8 +97,6 @@ def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
     scale-free per image.  Fused: the whole test-set contraction is at most three
     device calls (scan | label core | scan), not N sequential env_extend dispatches.
     """
-    from tnml_tpu.utils.precision import configure_matmul_precision
-    configure_matmul_precision()
     if X.shape[1] != packed.n:
         raise ValueError("X length mismatch")
     nb = X.shape[0]
@@ -108,18 +106,23 @@ def contract_batch(packed: PackedMPS, X: np.ndarray, dtype=jnp.float32):
 
 def _contract_packed(packed: PackedMPS, xs, nb: int, dtype=jnp.float32):
     from tnml_tpu.train.env import unsqueeze_env
+    from tnml_tpu.utils.precision import matmul_precision_scope
     ls = packed.label_site
     edge = edge_env(nb, packed.pad, dtype)
-    if ls is None:
-        cores = jnp.stack(packed.cores)
-        arr, sig = _scan_plain(unsqueeze_env(edge[0]), edge[1], cores, xs)
-        return arr[:, :, 0], sig
-    pre = jnp.stack(packed.cores[:ls]) if ls > 0 else \
-        jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
-    post = jnp.stack(packed.cores[ls + 1:]) if ls + 1 < packed.n else \
-        jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
-    return _contract_labeled(pre, packed.cores[ls], post,
-                             xs[:ls], xs[ls], xs[ls + 1:], edge[0], edge[1])
+    # evaluation needs true-f32 contractions (the near-degenerate overlap
+    # signal, utils/precision.py) — pinned as a trace-local SCOPE so it never
+    # rewrites the process-global precision an engine configured
+    with matmul_precision_scope():
+        if ls is None:
+            cores = jnp.stack(packed.cores)
+            arr, sig = _scan_plain(unsqueeze_env(edge[0]), edge[1], cores, xs)
+            return arr[:, :, 0], sig
+        pre = jnp.stack(packed.cores[:ls]) if ls > 0 else \
+            jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
+        post = jnp.stack(packed.cores[ls + 1:]) if ls + 1 < packed.n else \
+            jnp.zeros((0, packed.pad, packed.d, packed.pad), dtype)
+        return _contract_labeled(pre, packed.cores[ls], post,
+                                 xs[:ls], xs[ls], xs[ls + 1:], edge[0], edge[1])
 
 
 @dataclass
@@ -188,8 +191,6 @@ class Evaluator:
     """
 
     def __init__(self, X: np.ndarray, labels: np.ndarray, dtype=jnp.float32):
-        from tnml_tpu.utils.precision import configure_matmul_precision
-        configure_matmul_precision()
         self.xs = jnp.asarray(np.ascontiguousarray(np.transpose(X, (1, 2, 0))),
                               dtype=dtype)
         self.dtype = dtype
@@ -209,11 +210,13 @@ class Evaluator:
             stacks = eng.fused_eval_stacks()
         if stacks is None:
             return self.evaluate(eng.packed())
+        from tnml_tpu.utils.precision import matmul_precision_scope
         pre, wlab, post = stacks
         k = pre.shape[0]
         edge = edge_env(self.nb, eng.pad, self.dtype)
-        P, _ = _contract_labeled(pre, wlab, post, self.xs[:k], self.xs[k],
-                                 self.xs[k + 1:], edge[0], edge[1])
+        with matmul_precision_scope():
+            P, _ = _contract_labeled(pre, wlab, post, self.xs[:k], self.xs[k],
+                                     self.xs[k + 1:], edge[0], edge[1])
         return _report(np.abs(np.asarray(P)), self.labels)
 
 

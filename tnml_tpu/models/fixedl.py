@@ -118,9 +118,16 @@ class FixedLConfig:
                                       # 58,862-image set needs this on 16 GB HBM)
     mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
     svd_method: str = "gram"   # bond split: 'gram' | 'ritz' (fastest) | 'qr' | 'svd'
-    precision: Optional[str] = None   # matmul precision: None -> 'highest' (true
-                                      # f32, correctness-first); 'default'/'high'
-                                      # trade mantissa for MXU speed (engine.py)
+    precision: Optional[str] = None   # matmul precision.  None resolves per
+                                      # layout (resolved_precision): 'high'
+                                      # (bf16_3x) for the fixed-label regime —
+                                      # quality-validated at full scale since the
+                                      # round-4 iso-aware split fix (100.00% on
+                                      # both the anchor and the 58,862-image
+                                      # flagship, .bench/q_fullset_high_r4.log)
+                                      # and 1.14x faster — 'highest' (true f32)
+                                      # otherwise; 'default' trades more mantissa
+                                      # for MXU speed (engine.py)
     profile_dir: Optional[str] = None  # write a jax.profiler trace (xprof/
                                        # tensorboard format) covering the sweeps
     pause_step: bool = False   # interactive per-bond gate (the reference's
@@ -139,6 +146,23 @@ class FixedLConfig:
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
+
+    def resolved_precision(self) -> str:
+        """Layout-aware matmul-precision default (round-5 flip, VERDICT r4).
+
+        The fixed-label regime's requirement used to be 'highest' (true f32);
+        since the round-4 iso-aware split fix, 'high' (bf16_3x) is
+        quality-validated at FULL scale for it — 100.00% held-out on both the
+        740/label anchor (.bench/quality_fixn_high_r4.log) and the
+        58,862-image flagship (.bench/q_fullset_high_r4.log, 1-5 monotone
+        rejections/sweep) — and measures 1.14x faster (14.86 vs 16.88 s/sweep,
+        .bench/r4_perf2.log).  The moving-label mode keeps 'highest' as its
+        implicit-precision default: its headline perf path opts into
+        'default' explicitly (bench.py), which is the setting its quality was
+        measured under."""
+        if self.precision is not None:
+            return self.precision
+        return "high" if self.label_mode == "fixed" else "highest"
 
     def maxm_for_sweep(self, sw: int) -> int:
         if not self.maxm_schedule:
@@ -198,7 +222,8 @@ class FixedLModel:
                            replace=cfg.replace, monotone=cfg.monotone,
                            env_dtype=cfg._dtype(cfg.env_dtype),
                            mxu_dtype=cfg._dtype(cfg.mxu_dtype),
-                           svd_method=cfg.svd_method, precision=cfg.precision,
+                           svd_method=cfg.svd_method,
+                           precision=cfg.resolved_precision(),
                            label_mode=cfg.label_mode, env_store=env_store,
                            sharding=sharding)
         # the adaptive pad will regrow to cfg.maxm; variant choices size at the
@@ -249,10 +274,14 @@ class FixedLModel:
                 eng.fused_variant = "blocked"
                 return True
             if verbose:
-                print(f"[fused] labeled wing buffer would need "
-                      f"{sz['labelled'] / 1e9:.1f} GB/chip "
-                      f"(> {limit / 1e9:.1f} GB even blocked); using the "
-                      "per-bond engine")
+                # report the budget the blocked comparison actually used (the
+                # resident `limit` is tighter and printing it here misleads
+                # capacity debugging — round-4 advisor finding)
+                print(f"[fused] labeled wing boundary rows would need "
+                      f"{need_blocked / 1e9:.1f} GB/chip "
+                      f"(> {memmodel.blocked_budget_bytes() / 1e9:.1f} GB "
+                      f"blocked budget; resident budget {limit / 1e9:.1f} GB); "
+                      "using the per-bond engine")
             return False
         return True
 

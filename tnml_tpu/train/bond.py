@@ -316,6 +316,76 @@ def monotone_accept(B5_old, nwl, nwr, rank, truncerr,
         cost_old
 
 
+# relative discarded-weight threshold below which a truncated split is treated
+# as EXACT for acceptance purposes: at truncerr <= 1e-9 the split perturbs the
+# bond by |e| <= 3e-5*|B| — the induced quadcost change is below the f32
+# measurement noise of the quadcost pass it replaces, so the free pre-split
+# value IS the measurement.  (cutoff defaults to 1e-10, so every bond whose
+# rank did not saturate maxm lands under this threshold.)
+_GATE_TRUNC_EPS = 1e-9
+
+
+def monotone_accept_gated(B5_old, nwl, nwr, rank, truncerr,
+                          LE, sigL, RE, sigR, xc, x1, Y, labels, lam,
+                          cutoff, maxm, minm, label_leg: str, iso_left: bool,
+                          svd_method: str, cost0, est_cost,
+                          mxu_dtype=None, nl: int = 10):
+    """monotone_accept with the dual quadcost data passes GATED on free bounds
+    (round-5, VERDICT r4 items 3/weak-2 — the ungated form paid TWO full
+    [B]-scale data passes per bond, ~1 CG-pass-equivalent, even though
+    rejections are down to 1-5/sweep since the iso-aware split fix).
+
+    The free quantities (both off the CG metrics/gradient pass):
+
+    - ``cost0``  = quadcost of the INCOMING bond.  When the old bond's re-split
+      truncates nothing (``otrunc <= eps``) the re-split is the identity up to
+      fp, so the REJECT candidate's measured cost equals cost0 exactly — no
+      pass needed.  In the fixed-label layout this is EVERY bond in steady
+      state: B5_old has matrix rank <= its inner bond dim <= maxm along the
+      unchanged partition.  (The moving layout's label transport changes the
+      partition, so its saturated bonds still measure — the documented reason
+      monotone compares post-split costs at all.)
+    - ``est_cost`` = quadcost of the optimizer output via the exact CG
+      line-search identity f(B_{i+1}) = f(B_i) - a_i|r_i|^2 (valid for
+      'conj'/'fast_conj_exact' without damping — the caller enforces this).
+      When the candidate's split truncates nothing (``truncerr <= eps``) the
+      post-split cost equals est_cost to fp; at such bonds CG's guaranteed
+      descent (est_cost <= cost0 by construction) makes the accept decision
+      free as well.
+
+    Only bonds with REAL truncation on a candidate pay that candidate's
+    measured pass (a ``lax.cond`` — the branch operands LE/RE/x/Y are already
+    materialized segment inputs, so no fusion is lost; cf. the cg_bond tail
+    note about hoisting).
+
+    Metrics reporting is the caller's job via shifted reporting (the selected
+    candidate's post-split metrics are the NEXT visit's free incoming
+    metrics), so this returns only the decision:
+    (nwl, nwr, rank, truncerr, rejected, cost_sel, cost_old).
+    """
+    owl, owr, orank, otrunc = split_bond(B5_old, cutoff, maxm, minm,
+                                         label_leg=label_leg,
+                                         iso_left=iso_left, method=svd_method)
+    newB = make_bond(nwl, nwr)
+    oldB = make_bond(owl, owr)
+
+    def measured(B):
+        return quadcost(B, LE, sigL, RE, sigR, xc, x1, Y, labels, lam,
+                        mxu_dtype=mxu_dtype, nl=nl)[0]
+
+    cost_new = lax.cond(truncerr <= _GATE_TRUNC_EPS,
+                        lambda B: est_cost, measured, newB)
+    cost_old = lax.cond(otrunc <= _GATE_TRUNC_EPS,
+                        lambda B: cost0, measured, oldB)
+    rejected = cost_new > cost_old
+    nwl = jnp.where(rejected, owl, nwl)
+    nwr = jnp.where(rejected, owr, nwr)
+    rank = jnp.where(rejected, orank, rank)
+    truncerr = jnp.where(rejected, otrunc, truncerr)
+    cost_sel = jnp.where(rejected, cost_old, cost_new)
+    return nwl, nwr, rank, truncerr, rejected, cost_sel, cost_old
+
+
 # ---------------------------------------------------------------------------
 # cost / accuracy reporting (quadcost, fixedL.cc:280-344)
 # ---------------------------------------------------------------------------

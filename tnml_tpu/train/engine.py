@@ -437,6 +437,7 @@ class SweepEngine:
         ``verbose='bond'`` replays the reference's full per-bond report after each
         sweep's bulk stats fetch (the numbers are identical; only the moment they
         print differs from the reference's streaming output)."""
+        self._reassert_precision()
         self._sync_fused()
         self._fs_state = None   # the per-bond loop mutates self.cores directly
         if not len(self.env):
@@ -450,10 +451,9 @@ class SweepEngine:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds padded dim {self.pad}")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
             # shifted reporting (step.py shift_report): free incoming-bond
-            # metrics replace the dedicated post-split data pass per bond
-            shift = (self.report_cost and not self.monotone and not self.replace
-                     and self.noise < 1e-14
-                     and self.method in ("conj", "fast_conj", "fast_conj_exact"))
+            # metrics replace the dedicated post-split data pass per bond;
+            # with monotone, gated acceptance rides the same pass (_shift_ok)
+            shift = self._shift_ok()
             if verbose:
                 print(f"\nSweep {sw + 1} maxm={maxm} minm={minm} cutoff={cutoff:g}")
             t0 = time.perf_counter()
@@ -573,6 +573,7 @@ class SweepEngine:
                              "interior fixed label (2 <= c <= N-3)")
         if self.noise >= 1e-14 or self.method in ("exact", "pinv"):
             raise ValueError("fused sweeps support the CG methods without noise")
+        self._reassert_precision()
         if self.label_mode == "fixed" and self.label_site is not None:
             if self._fixed_variant() == "blocked":
                 return self._run_fused_blocked(sweeps, verbose=verbose)
@@ -584,8 +585,7 @@ class SweepEngine:
         history: List[BondStats] = []
         # shifted reporting: free incoming-bond metrics instead of a dedicated
         # post-split data pass per bond (see _shift_visit_metrics)
-        shift = (self.report_cost and not self.monotone
-                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
+        shift = self._shift_ok()
         common = dict(method=self.method, npass=self.npass,
                       check_r0=(self.label_site is None),
                       report=self.report_cost, env_dtype=self.env_dtype,
@@ -801,8 +801,7 @@ class SweepEngine:
             self._fused_init_fixed()
         fx = self._fsx
         n, c = self.n, self.label_site
-        shift = (self.report_cost and not self.monotone
-                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
+        shift = self._shift_ok()
         common = dict(method=self.method, npass=self.npass,
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
@@ -1088,8 +1087,7 @@ class SweepEngine:
         if not hasattr(self, "_fsx") or not self._fsx.get("blocked"):
             self._fused_init_blocked()
         fb = self._fsx
-        shift = (self.report_cost and not self.monotone
-                 and self.method in ("conj", "fast_conj", "fast_conj_exact"))
+        shift = self._shift_ok()
         common = dict(method=self.method, npass=self.npass,
                       report=self.report_cost, env_dtype=self.env_dtype,
                       mxu_dtype=self.mxu_dtype, svd_method=self.svd_method,
@@ -1265,6 +1263,33 @@ class SweepEngine:
             self.Y, self.labels, jnp.float32(self.lam), nl=self.nl))
         return (float(cost), np.asarray(pl, np.float32), float(ncor),
                 float(reg))
+
+    def _shift_ok(self) -> bool:
+        """Whether shifted reporting (step.py shift_report) is valid: the
+        incoming-metrics trick needs a plain CG method; combined with monotone
+        acceptance it additionally needs the exact line-search cost identity
+        (bond.monotone_accept_gated) — exact-recurrence CG, no damping."""
+        if not self.report_cost or self.replace or self.noise >= 1e-14:
+            return False
+        if self.method not in ("conj", "fast_conj", "fast_conj_exact"):
+            return False
+        if self.monotone:
+            return (self.method in ("conj", "fast_conj_exact")
+                    and self.alpha == 1.0)
+        return True
+
+    def _reassert_precision(self) -> None:
+        """Re-pin this engine's configured matmul precision at sweep entry.
+
+        The global jax_default_matmul_precision is process-wide; another
+        component constructed between sweeps (a second engine with a different
+        setting, user code) may have rewritten it, silently flipping this
+        engine's next trace/execution.  configure_matmul_precision is a no-op
+        when the mode already matches, so this costs nothing in steady state.
+        (Evaluators pin their own precision as a trace-local scope and never
+        touch the global — utils/precision.py matmul_precision_scope.)"""
+        from tnml_tpu.utils.precision import configure_matmul_precision
+        configure_matmul_precision(self.precision)
 
     # -- extraction ---------------------------------------------------------------
 

@@ -162,7 +162,23 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
 
         rejected = jnp.bool_(False)
         aux = jnp.float32(0.0)
-        if monotone:
+        if monotone and shift_report:
+            # gated acceptance: quadcost passes fire only at candidates with
+            # real truncation (bond.monotone_accept_gated); metrics slots
+            # carry INCOMING values for the engine's shift.  Requires the
+            # exact CG cost identity (engine._shift_ok enforces).
+            if not est_pre:
+                raise ValueError("gated monotone needs conj/fast_conj_exact "
+                                 "without damping")
+            (nwl, nwr, rank, truncerr, rejected, _cost_sel,
+             aux) = bond_ops.monotone_accept_gated(
+                B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
+                labels, lam, cutoff, maxm, minm, label_leg, forward,
+                svd_method, cost0=cg.cost0, est_cost=cg.est_cost,
+                mxu_dtype=mxu_dtype, nl=nl)
+            cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+            cost_pre = cg.est_cost
+        elif monotone:
             (nwl, nwr, rank, truncerr, cost, per_label, ncor,
              reg, rejected, aux) = bond_ops.monotone_accept(
                 B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,

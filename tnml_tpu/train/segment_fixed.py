@@ -178,7 +178,25 @@ def plain_bond_body(cur, w_next, far_a, far_s, n_arr, n_sig, xl, xr, Y, labels,
 
     rejected = jnp.bool_(False)
     aux = jnp.float32(0.0)
-    if monotone:
+    if monotone and shift_report:
+        # gated acceptance (bond.monotone_accept_gated): in the fixed layout
+        # the old bond's re-split along the unchanged partition never
+        # truncates (rank <= inner dim <= maxm), so the reject candidate's
+        # pass is ALWAYS skipped; the accept candidate measures only at
+        # rank-saturated bonds.  Metrics slots carry INCOMING values for the
+        # engine's shift.
+        if not est_pre:
+            raise ValueError("gated monotone needs conj/fast_conj_exact "
+                             "without damping")
+        (nwl, nwr, rank, truncerr, rejected, _cost_sel,
+         aux) = bond_ops.monotone_accept_gated(
+            B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,
+            labels, lam, cutoff, maxm, minm, "none", forward,
+            svd_method, cost0=cg.cost0, est_cost=cg.est_cost,
+            mxu_dtype=mxu_dtype, nl=nl)
+        cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+        cost_pre = cg.est_cost
+    elif monotone:
         (nwl, nwr, rank, truncerr, cost, per_label, ncor,
          reg, rejected, aux) = bond_ops.monotone_accept(
             B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xl, xr, Y,

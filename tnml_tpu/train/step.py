@@ -70,11 +70,16 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
 
     B5 = bond_ops.make_bond(wl, wr)
     aux = jnp.float32(0.0)
-    if shift_report and (monotone or replace or use_noise
+    if shift_report and (replace or use_noise
                          or method not in ("conj", "fast_conj",
                                            "fast_conj_exact")):
         raise ValueError("shift_report needs a plain CG method (the incoming "
                          "metrics come off the CG gradient pass)")
+    if shift_report and monotone and (damp or method not in
+                                      ("conj", "fast_conj_exact")):
+        raise ValueError("shift_report with monotone acceptance needs the "
+                         "exact CG cost identity (conj/fast_conj_exact, no "
+                         "damping) — bond.monotone_accept_gated")
     if method in ("conj", "fast_conj", "fast_conj_exact"):
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
                               npass=npass, fast=method.startswith("fast"),
@@ -136,7 +141,20 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                                  lam, mxu_dtype=mxu_dtype, nl=nl)[0]
 
     replaced = jnp.bool_(False)
-    if monotone:
+    if monotone and shift_report:
+        # gated acceptance (bond.monotone_accept_gated): the dual quadcost
+        # passes fire only at bonds with real truncation on that candidate;
+        # metrics slots carry the INCOMING values for the engine's shift
+        if use_noise or replace:
+            raise ValueError("monotone acceptance excludes noise and replace")
+        (nwl, nwr, rank, truncerr, replaced, _cost_sel,
+         aux) = bond_ops.monotone_accept_gated(
+            B5, nwl, nwr, rank, truncerr, LE, lsc, RE, rsc, xc, x1, Y,
+            labels, lam, cutoff, maxm, minm, label_leg, iso_left, svd_method,
+            cost0=cg.cost0, est_cost=cg.est_cost, mxu_dtype=mxu_dtype, nl=nl)
+        cost, per_label, ncor, reg = cg.cost0, cg.pl0, cg.ncor0, cg.reg0
+        cost_pre = cg.est_cost
+    elif monotone:
         if use_noise or replace:
             raise ValueError("monotone acceptance excludes noise and replace")
         (nwl, nwr, rank, truncerr, cost, per_label, ncor,

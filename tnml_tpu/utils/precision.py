@@ -44,3 +44,22 @@ def configure_matmul_precision(mode: str | None = None) -> str:
     jax.config.update("jax_default_matmul_precision", mode)
     _configured[0] = mode
     return mode
+
+
+def matmul_precision_scope(mode: str | None = None):
+    """Context manager pinning matmul precision for the enclosed traces ONLY.
+
+    Components with a fixed precision requirement that differs from the
+    training engine's configured mode (the evaluators need true-f32
+    contractions — the near-degenerate product-state overlaps lose their class
+    signal to bf16 operand rounding) must NOT rewrite the process-global
+    ``jax_default_matmul_precision``: a global write after an engine
+    configured 'default'/'high' silently flips every later engine trace back
+    to 'highest' (and vice versa).  The config context manager participates
+    in jit cache keys, so repeated scoped calls never retrace and the global
+    stays whatever ``configure_matmul_precision`` set.
+    """
+    import jax
+
+    mode = os.environ.get("TNML_MATMUL_PRECISION") or mode or "highest"
+    return jax.default_matmul_precision(mode)
