@@ -42,12 +42,19 @@ def read_sites(path: str) -> dict:
 
 
 def save_mps(path: str, mps: MPS) -> None:
+    # Cores are stored at their native dtype (f32 off the engine — upcasting to
+    # f64 doubles the payload for stored rounding noise) and UNCOMPRESSED:
+    # zlib over the flagship's ~180 MB f64 stack cost ~2 s of the per-sweep
+    # checkpoint write (round-5 timing split); plain npz is I/O-bound (~0.1 s).
+    # load_mps reads either layout, so old f64-compressed checkpoints stay valid.
     payload = {"n": np.asarray(mps.n), "d": np.asarray(mps.d),
                "label_site": np.asarray(-1 if mps.label_site is None else mps.label_site)}
     for j, c in enumerate(mps.cores):
-        payload[f"core_{j:05d}"] = np.asarray(c, dtype=np.float64)
+        c = np.asarray(c)
+        payload[f"core_{j:05d}"] = c if c.dtype in (np.float32, np.float64) \
+            else c.astype(np.float64)
     buf = io.BytesIO()
-    np.savez_compressed(buf, **payload)
+    np.savez(buf, **payload)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(buf.getvalue())

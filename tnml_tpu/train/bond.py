@@ -31,6 +31,32 @@ from jax import lax
 # full set (.bench/PROFILE_r3.md); see the use site in cg_bond.
 _WING_BARRIER = os.environ.get("TNML_WING_BARRIER", "1") == "1"
 
+# Scoped matmul-precision overrides (round-5 bf16 root-cause work, VERDICT r4
+# item 5).  Each pins ONE subsystem's matmuls to a fixed precision while the
+# global policy (engine `precision=`) stays whatever the run configured —
+# letting a `precision=default` run (single-pass bf16 operands) keep exact
+# math only where it is load-bearing.  Values: default | high | highest;
+# unset = follow the global policy.  Read once at import, traced-in statically.
+#
+#   TNML_SPLIT_PRECISION — the truncated-split path (split_bond): the gram
+#     product squares the condition number, and in the near-degenerate fixed
+#     regime the class signal rides singular values ~1e-3*s_max — exactly the
+#     scale of bf16 operand rounding on G (4e-3*s_max^2), so a bf16 gram
+#     scrambles the truncation basis at every bond.  Diagnosis + measurements
+#     in docs/DESIGN.md ("default-precision collapse").
+#   TNML_GRAD0_PRECISION — the first CG gradient/metrics pass in cg_bond
+#     (the one-hot residual dP = Y - P cancellation hypothesis).
+_SPLIT_PRECISION = os.environ.get("TNML_SPLIT_PRECISION") or None
+_GRAD0_PRECISION = os.environ.get("TNML_GRAD0_PRECISION") or None
+
+
+def _prec_scope(mode):
+    """Trace-time matmul-precision scope (nullcontext when mode is None)."""
+    import contextlib
+    if mode is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(mode)
+
 # ---------------------------------------------------------------------------
 # bond tensor assembly / disassembly
 # ---------------------------------------------------------------------------
@@ -168,7 +194,8 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         cost = jnp.sum(dP * dP) + lam * jnp.sum(B * B)
         return g - lam * B, cost
 
-    if metrics:
+    with _prec_scope(_GRAD0_PRECISION):
+      if metrics:
         P0 = apply_bond(B5, Lphi, Rphi) * sig
         dP0 = Y4 - P0
         g0 = outer_grad(dP0 * sig, Lphi, Rphi)
@@ -183,7 +210,7 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         ncor0 = jnp.where(Pflat.shape[1] > 1,
                           jnp.sum((pred == labels).astype(jnp.int32)),
                           jnp.int32(0))
-    else:
+      else:
         r0, cost0 = grad_and_cost(B5)
         pl0 = jnp.zeros((nl,), jnp.float32)
         ncor0 = jnp.int32(-1)
@@ -477,6 +504,17 @@ def _polish_iso_left(left_m, right_m, mask):
 @partial(jax.jit, static_argnames=("label_leg", "iso_left", "method"))
 def split_bond(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
                method: str = "gram"):
+    """split_bond with its matmuls optionally pinned to TNML_SPLIT_PRECISION
+    (see the knob comment at the top of this module); the split is O(m^3) per
+    bond — negligible next to the [B]-scale data passes — so pinning it to
+    'highest' under a bf16 global policy costs nothing measurable."""
+    with _prec_scope(_SPLIT_PRECISION):
+        return _split_bond_impl(B5, cutoff, maxm, minm, label_leg, iso_left,
+                                method)
+
+
+def _split_bond_impl(B5, cutoff, maxm, minm, label_leg: str, iso_left: bool,
+                     method: str = "gram"):
     """Split B5 back into two cores with adaptive-rank truncation.
 
     ``label_leg``: 'left' | 'right' | 'none' — which output core keeps the label axis

@@ -18,6 +18,7 @@ fetched in bulk once per sweep.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
@@ -1274,6 +1275,13 @@ class SweepEngine:
         if self.method not in ("conj", "fast_conj", "fast_conj_exact"):
             return False
         if self.monotone:
+            # TNML_MONOTONE_GATE=0 forces the UNGATED acceptance (both
+            # candidates measured by full quadcost passes) — diagnostic parity
+            # with the round-4 runs; the gated form trusts the CG line-search
+            # identity at clean bonds, which a numerics investigation may not
+            # want to assume.
+            if os.environ.get("TNML_MONOTONE_GATE", "1") == "0":
+                return False
             return (self.method in ("conj", "fast_conj_exact")
                     and self.alpha == 1.0)
         return True
