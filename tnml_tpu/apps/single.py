@@ -39,6 +39,8 @@ def main(argv=None) -> int:
         report_cost=cfg.get_yesno("report_cost", True),
         pad=cfg.get_int("pad", 0) or None,
         pause_steps=cfg.get_yesno("pause_steps", False),
+        env_dtype=cfg.get_string("env_dtype", "") or None,
+        precision=cfg.get_string("precision", "") or None,
     )
 
     feature = cfg.get_string("feature", "normal")

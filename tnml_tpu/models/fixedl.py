@@ -196,7 +196,10 @@ class FixedLModel:
             if verbose:
                 print("Found separate W0,W1,...,W9 MPS: summing")
             ws = [ckpt.load_mps(os.path.join(workdir, f"W{l}")) for l in range(10)]
-            w = merge_one_vs_rest(ws)
+            # the reference sums under the run's Cutoff/Maxm (fixedL.cc:697);
+            # without the cap, ten m=64 parents direct-sum to m=640 and the
+            # engine pad would balloon past the configured maxm
+            w = merge_one_vs_rest(ws, cutoff=cfg.cutoff, maxm=cfg.maxm)
             ckpt.save_mps(wpath, w)
             return cls(w)
         w = cold_start(X, labels, ninitial=cfg.ninitial, verbose=verbose)

@@ -43,6 +43,13 @@ class SingleConfig:
     pad: Optional[int] = None
     pause_steps: bool = False  # interactive per-bond gate (the reference's
                                # pause_steps PAUSE macro, single.cc:28, single.h:684)
+    env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 — at the
+                                      # full 58,862-image set the label-free wing
+                                      # table is ~18 GB f32 at m=100, over HBM;
+                                      # bf16 halves it (same knob as FixedLConfig)
+    precision: Optional[str] = None   # matmul precision (default 'highest' —
+                                      # the one-vs-rest targets are the same
+                                      # near-degenerate overlaps as fixedL's)
 
     def resolved_minm(self) -> int:
         return self.minm if self.minm is not None else max(10, self.maxm // 2)
@@ -91,11 +98,15 @@ class SingleModel:
         if pad is None:
             pad = cfg.pad or min(cfg.maxm, max(16, 2 * self.w.max_bond()))
         pad = max(pad, self.w.max_bond())
+        from tnml_tpu.models.fixedl import FixedLConfig
         return SweepEngine(pack(self.w, pad), X, labels,
                            lam=cfg.lam, alpha=cfg.alpha, npass=cfg.npass, cconv=cfg.cconv,
                            method=cfg.method, pcut=cfg.pcut, ntarget=cfg.ntarget,
                            target_label=cfg.label, report_cost=cfg.report_cost,
-                           monotone=cfg.monotone, sharding=sharding)
+                           monotone=cfg.monotone,
+                           env_dtype=FixedLConfig._dtype(cfg.env_dtype),
+                           precision=cfg.precision or "highest",
+                           sharding=sharding)
 
     def train(self, X, labels, cfg: SingleConfig, workdir: Optional[str] = ".",
               sharding=None, verbose: bool = True):
