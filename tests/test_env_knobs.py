@@ -37,6 +37,14 @@ if mode == "bf16":
     # The test guards against BROKEN numerics (explosion/garbage), not parity.
     tol = dict(rtol=3e-1, atol=1e-2, out_rtol=2e-1, out_atol=2e-2,
                rank_agree=0.8)
+elif mode == "bf16_strict":
+    # bf16 wings with the carry/nonorm pair OPTED OUT: only the boundary
+    # quantization differs from the resident engine (the pre-round-5 default).
+    # Uses the config the tight tolerances were originally validated on
+    # (test_blocked_bf16_wings before the round-5 default flip).
+    kw = dict(lam=1e-3, npass=2, env_dtype=jnp.bfloat16)
+    tol = dict(rtol=6e-2, atol=1e-3, out_rtol=8e-2, out_atol=5e-3,
+               rank_agree=0.9)
 else:
     # f32 knobs reorder fp work but are mathematically identical; measured
     # max rel drift ~5e-3 on small late-sweep costs for the nonorm rescale,
@@ -44,8 +52,12 @@ else:
     # (measured 0.84 agreement, every disagreement within +-1)
     tol = dict(rtol=1e-2, atol=5e-4, out_rtol=1e-2, out_atol=5e-4,
                rank_agree=0.8)
-a, b, X = _pair(n=12, batch=14, c=5, seed=3, K=2, **kw)
-_compare(a, b, Sweeps.constant(2, 2, 10, 1e-10), X, **tol)
+if mode == "bf16_strict":
+    a, b, X = _pair(n=10, batch=12, c=4, seed=5, K=2, **kw)
+    _compare(a, b, Sweeps.constant(2, 2, 8, 1e-10), X, **tol)
+else:
+    a, b, X = _pair(n=12, batch=14, c=5, seed=3, K=2, **kw)
+    _compare(a, b, Sweeps.constant(2, 2, 10, 1e-10), X, **tol)
 print("knob-equivalence ok:", mode)
 """
 
@@ -65,8 +77,16 @@ def _run(mode: str, env_extra: dict) -> None:
 
 def test_knob_rebuild_carry_bf16():
     # bf16 wing storage is the only regime where the carry knob changes
-    # anything (with f32 wings out_dtype/carry stay f32 by construction)
+    # anything (with f32 wings out_dtype/carry stay f32 by construction);
+    # since round 5 this is also the AUTO default for bf16-stored wings
     _run("bf16", {"TNML_REBUILD_CARRY": "bf16"})
+
+
+def test_knob_rebuild_carry_optout():
+    # TNML_REBUILD_CARRY=f32 TNML_REBUILD_NONORM=0 restores the strict
+    # quantize-once rebuild under bf16 wing storage (pre-round-5 default) —
+    # only the boundary quantization separates blocked from resident
+    _run("bf16_strict", {"TNML_REBUILD_CARRY": "f32", "TNML_REBUILD_NONORM": "0"})
 
 
 def test_knob_rebuild_nonorm():

@@ -67,10 +67,15 @@ def test_blocked_bf16_wings():
     import jax.numpy as jnp
     a, b, X = _pair(n=10, batch=12, c=4, seed=5, K=2, lam=1e-3, npass=2,
                     env_dtype=jnp.bfloat16)
-    # bf16 rank ties flip on quantization noise (cf. test_fused_fixed's 0.9)
+    # bf16 rank ties flip on quantization noise (cf. test_fused_fixed's 0.9);
+    # since round 5 bf16-stored wings also default to the bf16 rebuild carry +
+    # nonorm pair (segment_blocked._carry_bf16/_nonorm), adding one rounding
+    # per crossed site — tolerances match test_env_knobs' bf16 mode, which
+    # guards against BROKEN numerics, not parity (the strict-carry opt-out is
+    # covered by test_env_knobs.test_knob_rebuild_carry_optout)
     _compare(a, b, Sweeps.constant(2, 2, 8, 1e-10), X,
-             rtol=6e-2, atol=1e-3, out_rtol=8e-2, out_atol=5e-3,
-             rank_agree=0.9)
+             rtol=3e-1, atol=1e-2, out_rtol=2e-1, out_atol=2e-2,
+             rank_agree=0.8)
 
 
 def test_blocked_sharded_matches_resident_sharded():

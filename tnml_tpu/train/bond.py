@@ -400,10 +400,15 @@ def monotone_accept_gated(B5_old, nwl, nwr, rank, truncerr,
         return quadcost(B, LE, sigL, RE, sigR, xc, x1, Y, labels, lam,
                         mxu_dtype=mxu_dtype, nl=nl)[0]
 
-    cost_new = lax.cond(truncerr <= _GATE_TRUNC_EPS,
-                        lambda B: est_cost, measured, newB)
     cost_old = lax.cond(otrunc <= _GATE_TRUNC_EPS,
                         lambda B: cost0, measured, oldB)
+    # certain-reject shortcut: est_cost is the candidate's PRE-truncation cost,
+    # a lower bound on its post-split cost, so est_cost > cost_old already
+    # decides the comparison — substituting est_cost for the measured value
+    # yields the same (reject) decision without the data pass
+    cost_new = lax.cond((truncerr <= _GATE_TRUNC_EPS)
+                        | (est_cost > cost_old),
+                        lambda B: est_cost, measured, newB)
     rejected = cost_new > cost_old
     nwl = jnp.where(rejected, owl, nwl)
     nwr = jnp.where(rejected, owr, nwr)

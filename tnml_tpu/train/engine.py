@@ -108,6 +108,12 @@ class SweepEngine:
                  sharding=None):
         from tnml_tpu.utils.precision import configure_matmul_precision
         self.precision = configure_matmul_precision(precision)
+        # lifetime sweep counter: the apps drive one-sweep Sweeps objects in a
+        # loop (per-sweep eval/checkpoint between calls), so sweep labels and
+        # BondStats.sweep must continue across run()/run_fused() calls instead
+        # of restarting at 1 (the reference numbers sweeps globally,
+        # fixedL.cc:349)
+        self.sweeps_done = 0
         n_axis = 0 if x_site_major else 1
         if X.ndim != 3 or X.shape[n_axis] != model.n:
             raise ValueError("X must be [B, N, d] matching the model length")
@@ -451,18 +457,20 @@ class SweepEngine:
             if maxm > self.pad:
                 raise ValueError(f"sweep {sw}: maxm {maxm} exceeds padded dim {self.pad}")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            self.sweeps_done += 1
+            swno = self.sweeps_done
             # shifted reporting (step.py shift_report): free incoming-bond
             # metrics replace the dedicated post-split data pass per bond;
             # with monotone, gated acceptance rides the same pass (_shift_ok)
             shift = self._shift_ok()
             if verbose:
-                print(f"\nSweep {sw + 1} maxm={maxm} minm={minm} cutoff={cutoff:g}")
+                print(f"\nSweep {swno} maxm={maxm} minm={minm} cutoff={cutoff:g}")
             t0 = time.perf_counter()
             pending = []
             for b, direction in sweep_bonds(self.n):
                 origm = int(self.ranks[b + 1])
                 stats = self.bond_step_async(b, direction, shift_report=shift)
-                pending.append((sw + 1, b, direction, origm, stats))
+                pending.append((swno, b, direction, origm, stats))
                 if per_bond_hook is not None:
                     per_bond_hook(b, direction)
             # one bulk fetch per sweep
@@ -489,7 +497,7 @@ class SweepEngine:
             if verbose:
                 last = history[-1]
                 nb = 2 * (self.n - 1)
-                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                msg = (f"Sweep {swno} done in {dt:.2f}s "
                        f"({nb} bonds, "
                        f"{dt / nb * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
@@ -603,6 +611,8 @@ class SweepEngine:
                 raise ValueError("fused sweeps do not support the noise term; "
                                  "use the per-bond engine (run)")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            self.sweeps_done += 1
+            swno = self.sweeps_done
             t0 = time.perf_counter()
             # bond-aligned ping-pong: each half-sweep's ys ARE the next one's xs
             fwd = seg_ops.half_sweep(fs["carry"], fs["next_cores"], fs["opp"],
@@ -626,7 +636,7 @@ class SweepEngine:
             if shift:
                 visit = self._shift_visit_metrics(visit)
             for b, direction, vec in visit:
-                st = self._unpack_stats(sw + 1, b, direction,
+                st = self._unpack_stats(swno, b, direction,
                                         int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
@@ -635,7 +645,7 @@ class SweepEngine:
             if verbose:
                 last = history[-1]
                 n_bonds = len(visit)
-                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                msg = (f"Sweep {swno} done in {dt:.2f}s "
                        f"(fused, {n_bonds} bonds, "
                        f"{dt / n_bonds * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
@@ -819,6 +829,8 @@ class SweepEngine:
                 raise ValueError("fused sweeps do not support the noise term; "
                                  "use the per-bond engine (run)")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            self.sweeps_done += 1
+            swno = self.sweeps_done
             t0 = time.perf_counter()
             visit = []
             for forward in (True, False):
@@ -830,7 +842,7 @@ class SweepEngine:
                     visit, final_fn=self._fused_final_metrics_fixed)
             dt = time.perf_counter() - t0
             for b, direction, vec in visit:
-                st = self._unpack_stats(sw + 1, b, direction,
+                st = self._unpack_stats(swno, b, direction,
                                         int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
@@ -838,7 +850,7 @@ class SweepEngine:
                     self.print_bond_report(st)
             if verbose:
                 last = history[-1]
-                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                msg = (f"Sweep {swno} done in {dt:.2f}s "
                        f"(fused-fixed, {len(visit)} bonds, "
                        f"{dt / len(visit) * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")
@@ -1105,6 +1117,8 @@ class SweepEngine:
                 raise ValueError("fused sweeps do not support the noise term; "
                                  "use the per-bond engine (run)")
             self.set_hyper(cutoff, maxm, minm, noise=float(sweeps.noise[sw]))
+            self.sweeps_done += 1
+            swno = self.sweeps_done
             t0 = time.perf_counter()
             visit = []
             for forward in (True, False):
@@ -1116,7 +1130,7 @@ class SweepEngine:
                     visit, final_fn=self._fused_final_metrics_blocked)
             dt = time.perf_counter() - t0
             for b, direction, vec in visit:
-                st = self._unpack_stats(sw + 1, b, direction,
+                st = self._unpack_stats(swno, b, direction,
                                         int(self.ranks[b + 1]), vec)
                 self.ranks[b + 1] = st.newm
                 history.append(st)
@@ -1124,7 +1138,7 @@ class SweepEngine:
                     self.print_bond_report(st)
             if verbose:
                 last = history[-1]
-                msg = (f"Sweep {sw + 1} done in {dt:.2f}s "
+                msg = (f"Sweep {swno} done in {dt:.2f}s "
                        f"(fused-blocked, {len(visit)} bonds, "
                        f"{dt / len(visit) * 1e3:.1f} ms/bond), "
                        f"max m = {int(self.ranks.max())}")

@@ -30,18 +30,32 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Rebuild-carry dtype experiment (read once at import, traced-in statically):
-# 'bf16' keeps the rebuild chain's wing carry in bfloat16 between extends —
-# halves the dominant HBM traffic of the blocked engine (.bench/PROFILE_r3.md)
-# at the cost of one extra rounding per crossed site (chains are <= K sites
-# from an already-quantized boundary).  Default 'f32' = quantize-once.
-_REBUILD_CARRY_BF16 = os.environ.get("TNML_REBUILD_CARRY", "f32") == "bf16"
+# Rebuild-carry dtype (read once at import, traced-in statically): 'bf16'
+# keeps the rebuild chain's wing carry in bfloat16 between extends — halves
+# the dominant HBM traffic of the blocked engine (.bench/PROFILE_r3.md) at
+# the cost of one extra rounding per crossed site (chains are <= K sites from
+# an already-quantized boundary).  Since round 5 the default is AUTO: carry
+# follows the wing STORAGE dtype (bf16 carry iff wings are stored bf16,
+# rebuild_fast) — quality-gated at the full-set flagship, 100.00% held-out
+# from sweep 4 exactly like the f32-carry control
+# (.bench/r5_flagship_carry.log vs r5_flagship_gated.log).  'f32' opts out.
+_REBUILD_CARRY = os.environ.get("TNML_REBUILD_CARRY", "auto")
 
-# 'TNML_REBUILD_NONORM=1' skips the per-extend max/div normalization inside
+# TNML_REBUILD_NONORM skips the per-extend max/div normalization inside
 # rebuild chains (crossed cores are canonical => near-isometric, so scale
 # drift over <= K sites is bounded; scale rides in the values, sigma math
-# unchanged).  Saves the [B, nl, m] max+div passes per extend.
-_REBUILD_NONORM = os.environ.get("TNML_REBUILD_NONORM", "0") == "1"
+# unchanged).  Saves the [B, nl, m] max+div passes per extend.  AUTO since
+# round 5: on iff wings are stored bf16 (same quality gate as the carry,
+# the two were validated as a pair).  '0' opts out, '1' forces on.
+_REBUILD_NONORM = os.environ.get("TNML_REBUILD_NONORM", "auto")
+
+
+def _carry_bf16(fast: bool) -> bool:
+    return _REBUILD_CARRY == "bf16" or (fast and _REBUILD_CARRY == "auto")
+
+
+def _nonorm(fast: bool) -> bool:
+    return _REBUILD_NONORM == "1" or (fast and _REBUILD_NONORM == "auto")
 
 from tnml_tpu.train import step as step_ops
 from tnml_tpu.train.env import env_extend
@@ -117,6 +131,8 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
     """
     dt = env_dtype or jnp.float32
     fast = rebuild_fast(env_dtype)
+    carry_bf16 = _carry_bf16(fast)
+    nonorm = _nonorm(fast)
     nb = b_arr.shape[0]
     pad = cores_st.shape[1]
     lab_shape = (nb, b_arr.shape[1], pad) if b_arr.ndim == 3 else (nb, pad)
@@ -136,8 +152,8 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             # quantize to env_dtype on storage anyway, and rebuild chains are
             # <= K sites from a quantized boundary
             a, s = env_extend(a, s, x, core, fromleft=False, fast=fast,
-                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
-                              normalize=not _REBUILD_NONORM)
+                              out_dtype=(dt if carry_bf16 else None),
+                              normalize=not nonorm)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), T - 1 - k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, T - 1 - k, 0)
             return buf, sg, a, s
@@ -151,13 +167,13 @@ def blocked_segment(cores_st,             # [N, pad, d, pad] donated
             core = lax.dynamic_index_in_dim(cores_st, site, keepdims=False)
             x = lax.dynamic_index_in_dim(xs, site, keepdims=False)
             a, s = env_extend(a, s, x, core, fromleft=True, fast=fast,
-                              out_dtype=(dt if _REBUILD_CARRY_BF16 else None),
-                              normalize=not _REBUILD_NONORM)
+                              out_dtype=(dt if carry_bf16 else None),
+                              normalize=not nonorm)
             buf = lax.dynamic_update_index_in_dim(buf, a.astype(dt), k, 0)
             sg = lax.dynamic_update_index_in_dim(sg, s, k, 0)
             return buf, sg, a, s
 
-    carry_dt = dt if _REBUILD_CARRY_BF16 else jnp.float32
+    carry_dt = dt if carry_bf16 else jnp.float32
     far_buf, far_sig, _, _ = lax.fori_loop(
         1, T, build, (far_buf, far_sig, b_arr.astype(carry_dt), b_sig))
 
