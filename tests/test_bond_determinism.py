@@ -96,3 +96,50 @@ def test_body_matches_step_shift_report():
 
 def test_body_matches_step_fast():
     _assert_same(*_run_both(4, True, "fast_conj", False))
+
+
+def test_unrolled_cg_matches_while_loop():
+    """The statically unrolled CG (round-5, layout-gated default) must follow
+    the while_loop trajectory: bit-identical for 'conj' (the tail branch is
+    identical code), last-ulp-level for the fast paths (XLA fuses across
+    unrolled iterations), and IDENTICAL pass counts / early-exit behavior."""
+    from tnml_tpu.train import bond as bond_ops
+
+    rng = np.random.default_rng(7)
+    B, pad, d, nl = 16, 8, 2, 10
+    B5 = jnp.asarray(rng.normal(size=(pad, d, d, pad, nl)), jnp.float32)
+    LE = jnp.asarray(rng.normal(size=(B, pad)), jnp.float32)
+    RE = jnp.asarray(rng.normal(size=(B, pad)), jnp.float32)
+    lsc = jnp.asarray(rng.normal(size=(B,)) * 0.01, jnp.float32)
+    rsc = jnp.asarray(rng.normal(size=(B,)) * 0.01, jnp.float32)
+    xl = jnp.asarray(rng.normal(size=(d, B)), jnp.float32)
+    xr = jnp.asarray(rng.normal(size=(d, B)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, nl, size=B), jnp.int32)
+    Y = jnp.eye(nl, dtype=jnp.float32)[labels]
+
+    # cconv=2e3 exercises the masked early exit: CG at these shapes converges
+    # below that within a couple of passes (asserted via matching pass counts)
+    for fast, fe, cconv in [(False, False, 0.0), (True, False, 0.0),
+                            (True, True, 0.0), (False, False, 2e3),
+                            (True, True, 2e3)]:
+        out = {}
+        for unroll in (True, False):
+            out[unroll] = bond_ops.cg_bond(
+                B5, LE, lsc, RE, rsc, xl, xr, Y, jnp.float32(1e-3),
+                jnp.float32(cconv), npass=4, fast=fast, fast_exact=fe,
+                check_r0=True, labels=labels, metrics=True, nl=nl,
+                unroll=unroll)
+        a, b = out[True], out[False]
+        assert int(a.passes) == int(b.passes)
+        if cconv > 0:
+            assert int(a.passes) < 4, "early exit not exercised"
+        if not fast:
+            np.testing.assert_array_equal(np.asarray(a.B5), np.asarray(b.B5))
+        else:
+            np.testing.assert_allclose(np.asarray(a.B5), np.asarray(b.B5),
+                                       rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.rnorms), np.asarray(b.rnorms),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(a.est_cost), float(b.est_cost),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a.cost0), np.asarray(b.cost0))

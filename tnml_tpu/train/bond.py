@@ -49,6 +49,36 @@ _WING_BARRIER = os.environ.get("TNML_WING_BARRIER", "1") == "1"
 _SPLIT_PRECISION = os.environ.get("TNML_SPLIT_PRECISION") or None
 _GRAD0_PRECISION = os.environ.get("TNML_GRAD0_PRECISION") or None
 
+# Static CG unroll (round-5 perf, VERDICT r4 item 3): npass is a static
+# argument, so the CG loop can unroll at trace time instead of running a
+# lax.while_loop.  Straight-line code lets the FINAL pass simply omit the
+# outer_grad whose result the while_loop body had to compute and discard —
+# dropping it there needed a lax.cond, whose branch operands (the wing
+# products) then materialize in HBM instead of fusing into the matmuls
+# (measured 2x slower, see the body note below).  Early-exit (|r| < cconv)
+# semantics are preserved by masking every carry update with `done`, so the
+# unrolled trajectory matches the loop: bit-identical for 'conj', last-ulp
+# fp-reassociation differences for the fast paths (XLA fuses across unrolled
+# iterations); converged bonds burn dead flops instead of exiting, which only
+# matters when cconv actually triggers (the flagship burns all passes at
+# every bond — STATUS.md round 1).
+#
+# LAYOUT-GATED, like the wing barrier: measured at the full set
+# (.bench/r5_unroll.log), the fixed flagship wins (14.37 -> 13.57 s/sweep,
+# -5.6%) but the moving scan-fused path LOSES 33% (8.65 -> 11.46) — inside
+# the half-sweep lax.scan body, 4x straight-line CG code breaks XLA's
+# barrier-shaped wing-product reuse.  Call sites pass their measured default
+# (fixed/per-bond: unroll; moving scan: loop) via `unroll=`;
+# TNML_CG_UNROLL=1/0 force-overrides both (auto = caller default).
+_CG_UNROLL_ENV = os.environ.get("TNML_CG_UNROLL", "auto")
+
+
+def resolve_unroll(default: bool) -> bool:
+    """Caller-default CG unroll decision, overridable by TNML_CG_UNROLL=1/0."""
+    if _CG_UNROLL_ENV in ("auto", ""):
+        return default
+    return _CG_UNROLL_ENV == "1"
+
 
 def _prec_scope(mode):
     """Trace-time matmul-precision scope (nullcontext when mode is None)."""
@@ -145,11 +175,12 @@ class CGResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("npass", "fast", "check_r0", "mxu_dtype",
-                                   "fast_exact", "metrics", "nl"))
+                                   "fast_exact", "metrics", "nl", "unroll"))
 def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
             npass: int, fast: bool = False, check_r0: bool = False,
             mxu_dtype=None, fast_exact: bool = False,
-            labels=None, metrics: bool = False, nl: int = 10) -> CGResult:
+            labels=None, metrics: bool = False, nl: int = 10,
+            unroll: bool = True) -> CGResult:
     """Optimize the bond tensor by CG against A = sum_b v_b v_b^T + lambda.
 
     ``fast=True`` uses the residual update r <- r - a·Ap (single.h:290-398,
@@ -274,11 +305,53 @@ def cg_bond(B5, LE, sigL, RE, sigR, xc, x1, Y, lam, cconv,
         rnorms = c.rnorms.at[c.i].set(jnp.sqrt(nrr))
         return Carry(c.i + 1, Bn, nr, pn, nrr, done, costs, rnorms, fcost)
 
+    def body_unrolled(c: Carry, is_last: bool):
+        # Same math as `body`, but is_last is a PYTHON bool: the final pass's
+        # branch resolves at trace time, so the dead Ap/outer_grad (and the
+        # non-fast grad_and_cost) is simply never emitted — no lax.cond, no
+        # forced materialization of its operands (see the note in `body`).
+        pv = apply_bond(c.p, Lphi, Rphi) * sig
+        pAp = jnp.sum(pv * pv) + lam * jnp.sum(c.p * c.p)
+        alpha = c.rr / pAp
+        Bn = c.B + alpha * c.p
+        fcost = c.fcost - alpha * c.rr
+        if is_last:
+            nr, pn, nrr = c.r, c.p, c.rr
+            cost, done = jnp.float32(0.0), jnp.bool_(True)
+        else:
+            if fast and fast_exact:
+                Ap = outer_grad(pv * sig, Lphi, Rphi)
+                nr = c.r - alpha * (Ap + lam * c.p)
+                cost = jnp.float32(0.0)
+            elif fast:
+                Ap = outer_grad(pv * sig, Lphi, Rphi)
+                nr = c.r - alpha * Ap - lam * Bn
+                cost = jnp.float32(0.0)
+            else:
+                nr, cost = grad_and_cost(Bn)
+            nrr = jnp.sum(nr * nr)
+            beta = nrr / c.rr
+            pn = nr + beta * c.p
+            done = jnp.sqrt(nrr) < cconv
+        costs = c.costs.at[c.i].set(cost)
+        rnorms = c.rnorms.at[c.i].set(jnp.sqrt(nrr))
+        return Carry(c.i + 1, Bn, nr, pn, nrr, done, costs, rnorms, fcost)
+
     done0 = jnp.sqrt(rr0) < cconv if check_r0 else jnp.bool_(False)
     init = Carry(jnp.int32(0), B5, r0, r0, rr0, done0,
                  jnp.zeros((npass,), jnp.float32), jnp.zeros((npass,), jnp.float32),
                  cost0)
-    out = lax.while_loop(cond, body, init)
+    if unroll:
+        out = init
+        for i_static in range(npass):
+            nxt = body_unrolled(out, (i_static + 1) >= npass)
+            act = ~out.done
+            # `done` masking preserves the while_loop's early-exit trajectory
+            # exactly: once converged, every later pass's updates are discarded
+            # (the loop would not have executed them at all).
+            out = Carry(*(jnp.where(act, n, o) for n, o in zip(nxt, out)))
+    else:
+        out = lax.while_loop(cond, body, init)
     return CGResult(out.B, out.i, jnp.sqrt(rr0), out.costs, out.rnorms,
                     cost0, out.fcost, pl0, ncor0, reg0)
 

@@ -139,7 +139,11 @@ def half_sweep(carry_core,        # [pad,d,pad,J] active core (label rides here)
                               fast_exact=(method == "fast_conj_exact"),
                               labels=labels,
                               metrics=((shift_report or monotone) and report),
-                              nl=nl)
+                              nl=nl,
+                              # measured default: the scan-fused body keeps the
+                              # while_loop CG (.bench/r5_unroll.log: unroll is
+                              # 33% slower inside this scan)
+                              unroll=bond_ops.resolve_unroll(False))
         if damp:
             # bond-update damping (engine.alpha -> hyp_f[5]); statically gated
             # so the default alpha=1 sweep emits no extra ops

@@ -157,7 +157,10 @@ def plain_bond_body(cur, w_next, far_a, far_s, n_arr, n_sig, xl, xr, Y, labels,
                           fast_exact=(method == "fast_conj_exact"),
                           labels=labels,
                           metrics=((shift_report or monotone) and report),
-                          nl=nl)
+                          nl=nl,
+                          # measured default: unrolled CG drops the final dead
+                          # outer_grad (.bench/r5_unroll.log: -5.6% s/sweep)
+                          unroll=bond_ops.resolve_unroll(True))
     if damp:
         alpha = hyp_f[5]
         cg = cg._replace(B5=alpha * cg.B5 + (1.0 - alpha) * B5)

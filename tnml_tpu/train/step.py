@@ -87,7 +87,7 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
                               fast_exact=(method == "fast_conj_exact"),
                               labels=labels,
                               metrics=((shift_report or monotone) and report),
-                              nl=nl)
+                              nl=nl, unroll=bond_ops.resolve_unroll(True))
     elif method == "exact":
         Bex = solvers.exact_solve(B5, LE, lsc, RE, rsc, xc, x1, Y[:, 0], lam, pcut)
         cg = bond_ops.CGResult(Bex, jnp.int32(0), jnp.float32(0.0),
@@ -107,7 +107,8 @@ def fused_bond_step(wl, wr, LE, lsc, RE, rsc, xc, x1, Y, labels,
         aux, _, _, _ = bond_ops.quadcost(Bp, LE, lsc, RE, rsc, xc, x1, Y,
                                          labels, lam, nl=nl)
         cg = bond_ops.cg_bond(B5, LE, lsc, RE, rsc, xc, x1, Y, lam, cconv,
-                              npass=npass, fast=False, check_r0=check_r0, nl=nl)
+                              npass=npass, fast=False, check_r0=check_r0, nl=nl,
+                              unroll=bond_ops.resolve_unroll(True))
     else:
         raise ValueError(f"method {method!r} not recognized")
 
