@@ -304,14 +304,14 @@ def main() -> int:
             _provisional(prov)
         return prov
 
-    # moving headline: ritz split (quality-identical to gram — both reach the
-    # same 86.25% best/cost trajectory on the 10-sweep tuned config,
-    # .bench/quality_mv_{gram,ritz}_r3.log — and 0.4 ms/bond faster);
-    # fixed flagship: gram (parity default, validated at 100.00%)
+    # ritz split for BOTH layouts since round 5: quality-identical to gram on
+    # the moving tuned config (.bench/quality_mv_{gram,ritz}_r3.log) AND on the
+    # fixed anchor at precision=high (100.00% from sweep 3, BETTER cost
+    # trajectory 0.0172 vs 0.0234 at sweep 11, chain maxjump 4e-07 vs 2e-05 —
+    # .bench/quality_fixn_ritz_r5.log vs quality_fixn_high_r4.log), and
+    # -1.9% s/sweep on the fixed flagship (.bench/r5_fixed_ritz.log)
     times = measure_mode(label_mode, precision,
-                         svd=os.environ.get(
-                             "TNML_BENCH_SVD",
-                             "ritz" if label_mode == "moving" else "gram"),
+                         svd=os.environ.get("TNML_BENCH_SVD", "ritz"),
                          n_measured=nsweeps, tag="", on_sweep=on_main_sweep)
     if times is None:
         return 1
@@ -345,7 +345,7 @@ def main() -> int:
 
         try:
             measure_mode("fixed", fixed_prec, svd=os.environ.get(
-                "TNML_BENCH_FIXED_SVD", "gram"),
+                "TNML_BENCH_FIXED_SVD", "ritz"),
                 n_measured=fixed_sweeps, tag="flagship-fixed ",
                 on_sweep=on_fixed_sweep)
         except Exception as e:   # the moving headline must survive any

@@ -58,7 +58,8 @@ def main(argv=None) -> int:
         maxm_schedule=_parse_schedule(cfg.get_string("maxm_schedule", "")),
         env_dtype=cfg.get_string("env_dtype", "") or None,
         mxu_dtype=cfg.get_string("mxu_dtype", "") or None,
-        svd_method=cfg.get_string("svd_method", "gram"),
+        # defer to FixedLConfig's default (ritz since round 5) when unset
+        svd_method=cfg.get_string("svd_method", "") or FixedLConfig.svd_method,
         precision=cfg.get_string("precision", "") or None,
         dotest=cfg.get_yesno("dotest", False),
         profile_dir=cfg.get_string("profile", "") or None,

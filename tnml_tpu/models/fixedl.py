@@ -118,7 +118,12 @@ class FixedLConfig:
     env_dtype: Optional[str] = None   # 'bf16' stores wings in bfloat16 (the full
                                       # 58,862-image set needs this on 16 GB HBM)
     mxu_dtype: Optional[str] = None   # 'bf16' feeds MXU matmuls in bfloat16
-    svd_method: str = "gram"   # bond split: 'gram' | 'ritz' (fastest) | 'qr' | 'svd'
+    svd_method: str = "ritz"   # bond split: 'ritz' (default since round 5 —
+                               # quality-identical to gram on the moving tuned
+                               # config AND the fixed anchor at high, with a
+                               # better cost trajectory and -1.9% s/sweep,
+                               # .bench/quality_fixn_ritz_r5.log) | 'gram' |
+                               # 'qr' (backward-stable) | 'svd' (LAPACK parity)
     precision: Optional[str] = None   # matmul precision.  None resolves per
                                       # layout (resolved_precision): 'high'
                                       # (bf16_3x) for the fixed-label regime —
